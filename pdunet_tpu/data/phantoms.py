@@ -1,0 +1,111 @@
+"""Analytic ellipse phantoms and their closed-form parallel-beam sinograms.
+
+The mounted reference ships no test oracle (SURVEY.md §4.1), so the framework
+manufactures its own: the Radon transform of an ellipse has a closed form,
+making sums-of-ellipses (Shepp-Logan and random phantoms) exact ground truth
+for projector validation (SURVEY.md §4.2 tier 1).
+
+For an ellipse with semi-axes (a, b), center (x0, y0), rotation φ, density ρ:
+
+    p(θ, s) = 2ρab·sqrt(α² - t²)/α²   for |t| < α,  else 0,
+    α²(θ) = a²cos²(θ-φ) + b²sin²(θ-φ),  t = s - x0·cosθ - y0·sinθ.
+
+Coordinates: x to the right (array column i), y along array row j; all
+lengths in the same units as geometry spacings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "SHEPP_LOGAN",
+    "shepp_logan_ellipses",
+    "random_ellipses",
+    "rasterize_ellipses",
+    "analytic_parallel_sinogram",
+]
+
+# (density ρ, a, b, x0, y0, φ[rad]) in a [-1, 1]² box — the standard
+# "modified" (high-contrast) Shepp-Logan parameterization.
+SHEPP_LOGAN = np.array(
+    [
+        [1.00, 0.6900, 0.9200, 0.00, 0.0000, 0.0],
+        [-0.80, 0.6624, 0.8740, 0.00, -0.0184, 0.0],
+        [-0.20, 0.1100, 0.3100, 0.22, 0.0000, -np.deg2rad(18.0)],
+        [-0.20, 0.1600, 0.4100, -0.22, 0.0000, np.deg2rad(18.0)],
+        [0.10, 0.2100, 0.2500, 0.00, 0.3500, 0.0],
+        [0.10, 0.0460, 0.0460, 0.00, 0.1000, 0.0],
+        [0.10, 0.0460, 0.0460, 0.00, -0.1000, 0.0],
+        [0.10, 0.0460, 0.0230, -0.08, -0.6050, 0.0],
+        [0.10, 0.0230, 0.0230, 0.00, -0.6060, 0.0],
+        [0.10, 0.0230, 0.0460, 0.06, -0.6050, 0.0],
+    ]
+)
+
+
+def shepp_logan_ellipses(radius: float) -> np.ndarray:
+    """Shepp-Logan ellipse table scaled so the unit box maps to ``radius``."""
+    e = SHEPP_LOGAN.copy()
+    e[:, 1:5] *= radius
+    return e
+
+
+def random_ellipses(
+    rng: np.random.Generator, n: int, radius: float, min_axis_frac: float = 0.05
+) -> np.ndarray:
+    """Random ellipse phantom parameters inside a disk of ``radius``."""
+    rho = rng.uniform(-1.0, 1.0, n)
+    a = rng.uniform(min_axis_frac, 0.5, n) * radius
+    b = rng.uniform(min_axis_frac, 0.5, n) * radius
+    r0 = rng.uniform(0.0, 0.6, n) * radius
+    ang = rng.uniform(0.0, 2 * np.pi, n)
+    x0, y0 = r0 * np.cos(ang), r0 * np.sin(ang)
+    phi = rng.uniform(0.0, np.pi, n)
+    return np.stack([rho, a, b, x0, y0, phi], axis=1)
+
+
+def rasterize_ellipses(
+    ellipses: np.ndarray,
+    image_size: int,
+    pixel_spacing: float = 1.0,
+    supersample: int = 4,
+) -> np.ndarray:
+    """Rasterize a sum of ellipses to (N, N) float32, anti-aliased.
+
+    ``supersample``× subpixel sampling keeps edge error ~O(1/ss²), small
+    enough that the analytic-sinogram comparison tolerance is dominated by
+    the projector's own footprint model.
+    """
+    N, ss = image_size, supersample
+    coords = (np.arange(N * ss) + 0.5) / ss - 0.5  # fine-grid pixel coords
+    c = (N - 1) / 2.0
+    xy = (coords - c) * pixel_spacing
+    X, Y = np.meshgrid(xy, xy)  # X: column → x, Y: row → y
+    img = np.zeros_like(X)
+    for rho, a, b, x0, y0, phi in ellipses:
+        cp, sp = np.cos(phi), np.sin(phi)
+        xr = (X - x0) * cp + (Y - y0) * sp
+        yr = -(X - x0) * sp + (Y - y0) * cp
+        img += rho * ((xr / a) ** 2 + (yr / b) ** 2 <= 1.0)
+    img = img.reshape(N, ss, N, ss).mean(axis=(1, 3))
+    return img.astype(np.float32)
+
+
+def analytic_parallel_sinogram(
+    ellipses: np.ndarray,
+    angles: np.ndarray,
+    det_count: int,
+    det_spacing: float = 1.0,
+) -> np.ndarray:
+    """Closed-form parallel-beam sinogram (A, S) of a sum of ellipses."""
+    angles = np.asarray(angles, np.float64)
+    s = (np.arange(det_count) - (det_count - 1) / 2.0) * det_spacing
+    sino = np.zeros((angles.size, det_count))
+    for rho, a, b, x0, y0, phi in ellipses:
+        th = angles[:, None] - phi
+        alpha2 = (a * np.cos(th)) ** 2 + (b * np.sin(th)) ** 2
+        t = s[None, :] - x0 * np.cos(angles[:, None]) - y0 * np.sin(angles[:, None])
+        under = alpha2 - t**2
+        sino += np.where(under > 0, 2.0 * rho * a * b * np.sqrt(np.maximum(under, 0)) / alpha2, 0.0)
+    return sino.astype(np.float32)
