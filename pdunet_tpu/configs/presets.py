@@ -1,0 +1,84 @@
+"""The five shipped experiment presets, mirroring BASELINE.json:6-12.
+
+1. sino_unet_parallel — sinogram-domain UNet upsampling, sparse-view
+   parallel-beam CT, 256² slices.
+2. fbp_unet_parallel  — image-domain UNet post-processing of sparse-view FBP.
+3. pdunet_parallel    — Primal-Dual UNet, parallel-beam sparse-view CT.
+4. pdunet_fan         — Primal-Dual UNet, fan-beam low-dose + limited-angle.
+5. pdunet_radial      — Primal-Dual UNet, golden-angle radial MRI (complex).
+"""
+
+from __future__ import annotations
+
+from pdunet_tpu.configs.base import (
+    ExperimentConfig,
+    GeometryConfig,
+    ModelConfig,
+    TrainConfig,
+)
+
+
+def sino_unet_parallel() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="sino_unet_parallel",
+        geometry=GeometryConfig(kind="parallel", image_size=256, n_angles=360, sparsity=4),
+        model=ModelConfig(kind="sino_unet", base_features=64, depth=4),
+        train=TrainConfig(sino_loss_weight=1.0, img_loss_weight=1.0),
+    )
+
+
+def fbp_unet_parallel() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="fbp_unet_parallel",
+        geometry=GeometryConfig(kind="parallel", image_size=256, n_angles=360, sparsity=4),
+        model=ModelConfig(kind="fbp_unet", base_features=64, depth=4),
+        train=TrainConfig(),
+    )
+
+
+def pdunet_parallel() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="pdunet_parallel",
+        geometry=GeometryConfig(kind="parallel", image_size=256, n_angles=360, sparsity=4),
+        model=ModelConfig(kind="pdunet", base_features=32, depth=3, n_iters=4),
+        train=TrainConfig(batch_size=4),
+    )
+
+
+def pdunet_fan() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="pdunet_fan",
+        geometry=GeometryConfig(
+            kind="fan",
+            image_size=256,
+            n_angles=360,
+            sparsity=4,
+            angular_coverage=0.75,       # limited-angle variant
+        ),
+        model=ModelConfig(kind="pdunet", base_features=32, depth=3, n_iters=4),
+        train=TrainConfig(batch_size=4, photons_per_ray=1e5),  # low-dose noise
+    )
+
+
+def pdunet_radial() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="pdunet_radial",
+        geometry=GeometryConfig(kind="radial", image_size=256, n_angles=512, sparsity=4),
+        model=ModelConfig(kind="pdunet", base_features=32, depth=3, n_iters=4),
+        train=TrainConfig(batch_size=4),
+    )
+
+
+PRESETS = {
+    "sino_unet_parallel": sino_unet_parallel,
+    "fbp_unet_parallel": fbp_unet_parallel,
+    "pdunet_parallel": pdunet_parallel,
+    "pdunet_fan": pdunet_fan,
+    "pdunet_radial": pdunet_radial,
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name]()

@@ -1,0 +1,161 @@
+"""The jitted training loop (SURVEY.md §3.1 build mapping).
+
+The reference's Lightning ``training_step`` + DataLoader workers + autograd
++ Adam step collapse into ONE jitted function: batch synthesis happens on
+device, the unrolled model runs under scan/remat, gradients flow through the
+operators' custom_vjp, and optax updates in place (donated buffers). The
+only host work per step is the scalar metrics fetch on log steps.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from pdunet_tpu.configs import ExperimentConfig
+from pdunet_tpu.ops.metrics import psnr, ssim
+from pdunet_tpu.training.tasks import Task, build_task
+
+__all__ = ["train", "TrainResult", "make_train_step"]
+
+
+class TrainResult(NamedTuple):
+    state: Any
+    history: list
+    final_eval: dict
+    task: Task
+
+
+def _make_schedule(tc):
+    if tc.warmup_steps > 0:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=tc.learning_rate,
+            warmup_steps=tc.warmup_steps,
+            decay_steps=max(tc.steps, tc.warmup_steps + 1),
+            end_value=tc.learning_rate * 0.01,
+        )
+    return tc.learning_rate
+
+
+def make_train_step(task: Task, donate: bool = True):
+    """Build the single jitted train step: (state, key) → (state, metrics)."""
+
+    def step(state, key):
+        batch = task.make_batch(key)
+
+        def loss_of(params):
+            return task.loss_fn(params, batch)
+
+        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": gnorm, **aux}
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(task: Task):
+    def evaluate(params, batch):
+        recon = task.recon_fn(params, batch)
+        return {
+            "psnr": jnp.mean(psnr(recon, batch["image"])),
+            "ssim": jnp.mean(ssim(recon, batch["image"])),
+        }
+
+    return jax.jit(evaluate)
+
+
+def train(
+    config: ExperimentConfig,
+    steps: Optional[int] = None,
+    fixed_data: bool = False,
+    metrics_path: Optional[str] = None,
+    verbose: bool = True,
+) -> TrainResult:
+    """Train one experiment preset end-to-end.
+
+    ``fixed_data=True`` reuses a single synthesized batch every step (the
+    overfit smoke-test mode of SURVEY.md §4.2 tier 5).
+    """
+    tc = config.train
+    n_steps = tc.steps if steps is None else steps
+    task = build_task(config)
+
+    key = jax.random.PRNGKey(tc.seed)
+    key, init_key, data_key, val_key = jax.random.split(key, 4)
+
+    params = task.init_params(init_key)
+    tx = optax.adam(_make_schedule(tc))
+    state = train_state.TrainState.create(
+        apply_fn=getattr(task.model, "apply", None), params=params, tx=tx
+    )
+
+    ckpt_mgr = None
+    start_step = 0
+    if tc.ckpt_dir:
+        from pdunet_tpu.training.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(
+            tc.ckpt_dir, max_to_keep=tc.max_checkpoints,
+            save_interval_steps=tc.ckpt_every,
+        )
+        latest = ckpt_mgr.latest_step()
+        if latest is not None:
+            state = ckpt_mgr.restore(state)
+            start_step = int(state.step)
+            if verbose:
+                print(f"[train] resumed from step {start_step}")
+
+    step_fn = make_train_step(task)
+    eval_fn = make_eval_step(task)
+    val_batch = task.make_batch(val_key)
+
+    history = []
+    mfile = open(metrics_path, "a") if metrics_path else None
+    t0 = time.perf_counter()
+    for i in range(start_step, n_steps):
+        if fixed_data:
+            step_key = jax.random.fold_in(data_key, 0)
+        else:
+            step_key = jax.random.fold_in(data_key, i)
+        state, metrics = step_fn(state, step_key)
+
+        if (i + 1) % tc.log_every == 0 or i == n_steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(step=i + 1, wall_s=round(time.perf_counter() - t0, 2))
+            history.append(m)
+            if verbose:
+                print(f"[train] {json.dumps(m)}")
+            if mfile:
+                mfile.write(json.dumps(m) + "\n")
+                mfile.flush()
+        if (i + 1) % tc.eval_every == 0 and not fixed_data:
+            ev = {k: float(v) for k, v in eval_fn(state.params, val_batch).items()}
+            if verbose:
+                print(f"[eval]  step {i + 1}: {json.dumps(ev)}")
+            if mfile:
+                mfile.write(json.dumps({"step": i + 1, **ev}) + "\n")
+                mfile.flush()
+        if ckpt_mgr is not None:
+            ckpt_mgr.save(i + 1, state)
+
+    eval_batch = val_batch if not fixed_data else task.make_batch(
+        jax.random.fold_in(data_key, 0)
+    )
+    final_eval = {k: float(v) for k, v in eval_fn(state.params, eval_batch).items()}
+    if ckpt_mgr is not None:
+        if ckpt_mgr.latest_step() != n_steps:
+            ckpt_mgr.save(n_steps, state, force=True)
+        ckpt_mgr.wait()
+        ckpt_mgr.close()
+    if mfile:
+        mfile.close()
+    return TrainResult(state, history, final_eval, task)

@@ -1,0 +1,162 @@
+"""Task definitions: one per reference config (BASELINE.json:6-12).
+
+A Task bundles the model, the on-device batch synthesis, the loss and the
+reconstruction function for one experiment preset. This is where the
+reference's call stacks (SURVEY.md §3.3-3.5) are realized:
+
+  sino_unet: sparse sino → angular interp → UNet residual → dense sino
+             → L1(sino) + L1 through differentiable FBP       (§3.3)
+  fbp_unet:  sparse sino → FBP (streaky) → UNet residual → L1  (§3.4)
+  lpd:       unrolled PDHG with small conv nets                (C6)
+  pdunet:    unrolled primal/dual UNets with A, A† inside      (§3.1)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pdunet_tpu.configs import ExperimentConfig, GeometryConfig
+from pdunet_tpu.data.pipeline import (
+    MU_WATER,
+    interp_upsample_angles,
+    lowdose_poisson_noise,
+    subsample_angles,
+)
+from pdunet_tpu.data.synth import random_phantom_batch
+from pdunet_tpu.geometry import ParallelGeometry
+from pdunet_tpu.models.unet import UNet
+from pdunet_tpu.ops import losses
+from pdunet_tpu.ops.radon.parallel import make_parallel_ops
+
+__all__ = ["Task", "build_task", "build_geometries"]
+
+
+class Task(NamedTuple):
+    name: str
+    model: Any
+    init_params: Callable[[jax.Array], Any]
+    make_batch: Callable[[jax.Array], dict]
+    loss_fn: Callable[[Any, dict], tuple]
+    recon_fn: Callable[[Any, dict], jnp.ndarray]
+    config: ExperimentConfig
+    image_size: int
+
+
+def build_geometries(gc: GeometryConfig):
+    """Dense + sparse geometry pair for a config (parallel for now)."""
+    if gc.kind == "parallel":
+        coverage = gc.angular_coverage
+        angles = tuple(
+            coverage * math.pi * k / gc.n_angles for k in range(gc.n_angles)
+        )
+        dense = ParallelGeometry(
+            image_size=gc.image_size,
+            det_count=gc.det_count,
+            det_spacing=gc.det_spacing,
+            pixel_spacing=gc.pixel_spacing,
+            angles=angles,
+        )
+        return dense, dense.subsample(gc.sparsity)
+    raise NotImplementedError(f"geometry kind {gc.kind!r} not built yet")
+
+
+def _loss(name: str):
+    return {"l1": losses.l1, "l2": losses.l2, "charbonnier": losses.charbonnier}[name]
+
+
+def _maybe_noise(key, sino, photons):
+    if photons <= 0:
+        return sino
+    # phantom densities are O(1) per pixel → scale to attenuation units so
+    # the transmission model sees physically plausible line integrals
+    return lowdose_poisson_noise(key, sino * MU_WATER, photons) / MU_WATER
+
+
+def build_task(config: ExperimentConfig) -> Task:
+    gc, mc, tc = config.geometry, config.model, config.train
+    dense_geom, sparse_geom = build_geometries(gc)
+    ops_dense = make_parallel_ops(dense_geom)
+    ops_sparse = make_parallel_ops(sparse_geom)
+    loss = _loss(tc.loss)
+    N = gc.image_size
+    B = tc.batch_size
+    dtype = jnp.bfloat16 if mc.use_bfloat16 else jnp.float32
+
+    def phantoms(key):
+        return random_phantom_batch(key, B, N, n_ellipses=tc.n_ellipses,
+                                    pixel_spacing=gc.pixel_spacing)
+
+    if mc.kind == "fbp_unet":
+        model = UNet(out_channels=1, base_features=mc.base_features,
+                     depth=mc.depth, dtype=dtype)
+
+        def make_batch(key):
+            k1, k2 = jax.random.split(key)
+            img = phantoms(k1)
+            sino = _maybe_noise(k2, ops_sparse.A(img), tc.photons_per_ray)
+            fbp = ops_sparse.fbp(sino)
+            return {"image": img, "fbp": fbp}
+
+        def init_params(key):
+            return model.init(key, jnp.zeros((1, N, N, 1)))["params"]
+
+        def predict(params, batch):
+            x = batch["fbp"][..., None]
+            return batch["fbp"] + model.apply({"params": params}, x)[..., 0]
+
+        def loss_fn(params, batch):
+            pred = predict(params, batch)
+            return loss(pred, batch["image"]), {}
+
+        return Task(config.name, model, init_params, make_batch, loss_fn,
+                    predict, config, N)
+
+    if mc.kind == "sino_unet":
+        model = UNet(out_channels=1, base_features=mc.base_features,
+                     depth=mc.depth, dtype=dtype)
+        k = gc.sparsity
+
+        def make_batch(key):
+            k1, k2 = jax.random.split(key)
+            img = phantoms(k1)
+            sino_dense = ops_dense.A(img)
+            sino_sparse = _maybe_noise(
+                k2, subsample_angles(sino_dense, k), tc.photons_per_ray
+            )
+            sino_in = interp_upsample_angles(sino_sparse, k)
+            return {"image": img, "sino_dense": sino_dense, "sino_in": sino_in}
+
+        def init_params(key):
+            A = dense_geom.n_angles
+            S = dense_geom.det_count
+            return model.init(key, jnp.zeros((1, A, S, 1)))["params"]
+
+        def predict_sino(params, batch):
+            x = batch["sino_in"][..., None]
+            return batch["sino_in"] + model.apply({"params": params}, x)[..., 0]
+
+        def recon_fn(params, batch):
+            return ops_dense.fbp(predict_sino(params, batch))
+
+        def loss_fn(params, batch):
+            pred_sino = predict_sino(params, batch)
+            total = 0.0
+            aux = {}
+            if tc.sino_loss_weight:
+                ls = loss(pred_sino, batch["sino_dense"])
+                total += tc.sino_loss_weight * ls
+                aux["sino_loss"] = ls
+            if tc.img_loss_weight:
+                li = loss(ops_dense.fbp(pred_sino), batch["image"])
+                total += tc.img_loss_weight * li
+                aux["img_loss"] = li
+            return total, aux
+
+        return Task(config.name, model, init_params, make_batch, loss_fn,
+                    recon_fn, config, N)
+
+    raise NotImplementedError(f"model kind {mc.kind!r} not built yet")

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Train entry point (SURVEY.md §3.1; reference: per-branch train_<model>.py scripts).
+
+Usage:
+  python train.py --preset fbp_unet_parallel --steps 2000
+  python train.py --config configs/my.json --set train.learning_rate=3e-4
+  python train.py --preset pdunet_parallel --ckpt-dir runs/pd --resume auto
+
+All five presets of BASELINE.json:6-12 are available via --preset; any
+config field can be overridden with --set section.field=value.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import pathlib
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", help="preset name (see pdunet_tpu.configs.PRESETS)")
+    p.add_argument("--config", help="path to an ExperimentConfig JSON")
+    p.add_argument("--steps", type=int, default=None, help="override train.steps")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="dotted config override, e.g. train.learning_rate=3e-4")
+    p.add_argument("--ckpt-dir", default=None, help="checkpoint directory")
+    p.add_argument("--resume", choices=["auto", "none"], default="auto",
+                   help="auto-resume from latest checkpoint in --ckpt-dir")
+    p.add_argument("--metrics", default=None, help="JSONL metrics output path")
+    p.add_argument("--platform", default=None,
+                   help="force JAX platform (cpu for local dev; default: env)")
+    p.add_argument("--dump-config", action="store_true",
+                   help="print the resolved config JSON and exit")
+    return p.parse_args(argv)
+
+
+def resolve_config(args):
+    from pdunet_tpu.configs import ExperimentConfig, get_preset
+
+    if args.config:
+        config = ExperimentConfig.from_json(pathlib.Path(args.config).read_text())
+    elif args.preset:
+        config = get_preset(args.preset)
+    else:
+        raise SystemExit("need --preset or --config (try --preset fbp_unet_parallel)")
+
+    overrides = {}
+    for item in args.set:
+        key, _, value = item.partition("=")
+        overrides[key] = value
+    if overrides:
+        config = config.override(overrides)
+    if args.ckpt_dir is not None:
+        config = dataclasses.replace(
+            config, train=dataclasses.replace(config.train, ckpt_dir=args.ckpt_dir)
+        )
+    if args.resume == "none" and config.train.ckpt_dir:
+        # fresh run: refuse to silently clobber an existing run dir
+        ckpt = pathlib.Path(config.train.ckpt_dir)
+        if ckpt.exists() and any(ckpt.iterdir()):
+            raise SystemExit(
+                f"--resume none but {ckpt} is non-empty; remove it or use --resume auto"
+            )
+    return config
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    config = resolve_config(args)
+    if args.dump_config:
+        print(config.to_json())
+        return 0
+
+    from pdunet_tpu.training.loop import train
+
+    result = train(
+        config, steps=args.steps, metrics_path=args.metrics, verbose=True
+    )
+    print(f"[done] final eval: {result.final_eval}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
