@@ -159,4 +159,43 @@ def build_task(config: ExperimentConfig) -> Task:
         return Task(config.name, model, init_params, make_batch, loss_fn,
                     recon_fn, config, N)
 
+    if mc.kind in ("pdunet", "lpd"):
+        from pdunet_tpu.models.primal_dual import make_lpd, make_pdunet
+
+        if mc.kind == "pdunet":
+            model = make_pdunet(
+                A=ops_sparse.A, At=ops_sparse.At, n_iters=mc.n_iters,
+                base_features=mc.base_features, depth=mc.depth, dtype=dtype,
+            )
+        else:
+            model = make_lpd(
+                A=ops_sparse.A, At=ops_sparse.At, n_iters=mc.n_iters,
+                features=mc.lpd_features,
+                primal_channels=mc.primal_channels,
+                dual_channels=mc.dual_channels, dtype=dtype,
+            )
+
+        def make_batch(key):
+            k1, k2 = jax.random.split(key)
+            img = phantoms(k1)
+            g = _maybe_noise(k2, ops_sparse.A(img), tc.photons_per_ray)
+            f0 = ops_sparse.fbp(g)
+            return {"image": img, "sino": g, "f0": f0}
+
+        def init_params(key):
+            A_sp = sparse_geom.n_angles
+            S = sparse_geom.det_count
+            return model.init(
+                key, jnp.zeros((1, A_sp, S)), jnp.zeros((1, N, N))
+            )["params"]
+
+        def predict(params, batch):
+            return model.apply({"params": params}, batch["sino"], batch["f0"])
+
+        def loss_fn(params, batch):
+            return loss(predict(params, batch), batch["image"]), {}
+
+        return Task(config.name, model, init_params, make_batch, loss_fn,
+                    predict, config, N)
+
     raise NotImplementedError(f"model kind {mc.kind!r} not built yet")
