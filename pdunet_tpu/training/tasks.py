@@ -61,6 +61,23 @@ def build_geometries(gc: GeometryConfig):
             angles=angles,
         )
         return dense, dense.subsample(gc.sparsity)
+    if gc.kind == "fan":
+        from pdunet_tpu.geometry import FanGeometry
+
+        coverage = gc.angular_coverage
+        angles = tuple(
+            coverage * 2.0 * math.pi * k / gc.n_angles for k in range(gc.n_angles)
+        )
+        dense = FanGeometry(
+            image_size=gc.image_size,
+            det_count=gc.det_count,
+            det_spacing=gc.det_spacing,
+            pixel_spacing=gc.pixel_spacing,
+            source_distance=gc.source_distance,
+            det_distance=gc.det_distance,
+            angles=angles,
+        )
+        return dense, dense.subsample(gc.sparsity)
     raise NotImplementedError(f"geometry kind {gc.kind!r} not built yet")
 
 
@@ -79,8 +96,14 @@ def _maybe_noise(key, sino, photons):
 def build_task(config: ExperimentConfig) -> Task:
     gc, mc, tc = config.geometry, config.model, config.train
     dense_geom, sparse_geom = build_geometries(gc)
-    ops_dense = make_parallel_ops(dense_geom)
-    ops_sparse = make_parallel_ops(sparse_geom)
+    if gc.kind == "fan":
+        from pdunet_tpu.ops.radon.fan import make_fan_ops
+
+        ops_dense = make_fan_ops(dense_geom)
+        ops_sparse = make_fan_ops(sparse_geom)
+    else:
+        ops_dense = make_parallel_ops(dense_geom)
+        ops_sparse = make_parallel_ops(sparse_geom)
     loss = _loss(tc.loss)
     N = gc.image_size
     B = tc.batch_size
