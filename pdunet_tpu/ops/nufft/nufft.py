@@ -1,0 +1,268 @@
+"""Kaiser-Bessel gridding NUFFT, type-2 (forward) and type-1 (adjoint).
+
+Design (SURVEY.md §2c "torchkbnufft → ops/nufft"): the golden-angle radial
+trajectory is static per geometry, so everything data-independent happens at
+plan-build time in NumPy:
+
+  * k-space sample coordinates of every (spoke, readout) point,
+  * the J×J Kaiser-Bessel interpolation taps of every sample, flattened to
+    static (n_samples·J², ) index / weight arrays,
+  * the image-domain apodization correction (numerical quadrature of the
+    kernel's continuous Fourier transform — no closed-form-formula bugs),
+  * the radial density-compensation function (area-element weights).
+
+On device the forward is: deapodize → zero-pad to the σ-oversampled grid →
+FFT2 (XLA) → static gather. The adjoint is the exact elementwise transpose:
+static scatter-add → IFFT2·(σN)² → crop → deapodize. ⟨Ax, y⟩ = ⟨x, A†y⟩ to
+machine precision, giving correct custom_vjp gradients through the unroll.
+
+Conventions: images are (..., N, N) complex64, k-space data (..., n_spokes,
+n_samples) complex64; k in radians/pixel with |k| ≤ π (image-grid Nyquist);
+A(f)[m] ≈ Σ_x f[x]·exp(−i k_m·(x−c)) (type-2 DFT with centered image).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdunet_tpu.geometry import RadialGeometry
+
+__all__ = [
+    "NufftPlan",
+    "build_nufft_plan",
+    "nufft_forward",
+    "nufft_adjoint",
+    "radial_dcf",
+    "make_radial_ops",
+]
+
+
+def _kb_kernel(t: np.ndarray, J: int, beta: float) -> np.ndarray:
+    """Kaiser-Bessel kernel on offsets t (grid units), support |t| ≤ J/2."""
+    mask = np.abs(t) <= J / 2.0
+    arg = np.sqrt(np.maximum(1.0 - (2.0 * t / J) ** 2, 0.0))
+    return np.where(mask, np.i0(beta * arg), 0.0)
+
+
+def _kb_apodization(N: int, G: int, J: int, beta: float) -> np.ndarray:
+    """Image-domain correction: continuous FT of the KB kernel, sampled at
+    the N image positions (numerical quadrature, exact to ~1e-10)."""
+    t = np.linspace(-J / 2.0, J / 2.0, 4096)
+    c = _kb_kernel(t, J, beta)
+    x = np.arange(N) - N // 2  # image pixel offsets from center
+    # C(x) = ∫ c(t)·exp(i·2π·t·x/G) dt
+    phase = np.exp(2j * math.pi * np.outer(x, t) / G)
+    C = (phase @ c).real * (t[1] - t[0])
+    return C
+
+
+class NufftPlan:
+    """Static NUFFT plan. Registered as a pytree (arrays = leaves)."""
+
+    def __init__(self, geom, meta, idx, w, apod2d, dcf, phase=None):
+        self.geom = geom
+        self.meta = meta
+        self.idx = idx        # (n_pts·J²,) int32 into flattened (G, G) grid
+        self.w = w            # (n_pts, J²) float32
+        self.apod2d = apod2d  # (N, N) float32
+        self.dcf = dcf        # (n_spokes, n_samples) float32
+        self.phase = phase
+
+    def tree_flatten(self):
+        return (self.idx, self.w, self.apod2d, self.dcf), (self.geom, tuple(sorted(self.meta.items())))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        geom, meta_items = aux
+        idx, w, apod2d, dcf = children
+        return cls(geom, dict(meta_items), idx, w, apod2d, dcf)
+
+
+jax.tree_util.register_pytree_node_class(NufftPlan)
+
+
+def radial_dcf(geom: RadialGeometry) -> np.ndarray:
+    """Radial area-element density compensation (ramp |k| with center fix).
+
+    Cell area of sample at radius |r|: Δr·Δφ·|r| with Δφ = π/n_spokes
+    (diameter spokes cover orientation space [0, π)); the r≈0 cell gets the
+    disk area π(Δr/2)²/n_spokes shared across spokes.
+    """
+    n_sp, n_ro = geom.n_spokes, geom.samples_per_spoke
+    k_max = math.pi / geom.pixel_spacing
+    r = (np.arange(n_ro) - n_ro / 2.0) * (2.0 * k_max / n_ro)
+    dr = 2.0 * k_max / n_ro
+    dphi = math.pi / n_sp
+    w = np.abs(r) * dr * dphi
+    w = np.maximum(w, math.pi * (dr / 2.0) ** 2 / n_sp)
+    return np.broadcast_to(w[None, :], (n_sp, n_ro)).astype(np.float32)
+
+
+def build_nufft_plan(
+    geom: RadialGeometry, oversamp: float = 2.0, J: int = 4
+) -> NufftPlan:
+    N = geom.image_size
+    G = int(round(oversamp * N))
+    beta = math.pi * math.sqrt((J / oversamp) ** 2 * (oversamp - 0.5) ** 2 - 0.8)
+
+    # trajectory: k_m = r_i · (cos φ_k, sin φ_k), r uniform over [-k_max, k_max)
+    n_sp, n_ro = geom.n_spokes, geom.samples_per_spoke
+    k_max = math.pi / geom.pixel_spacing
+    r = (np.arange(n_ro) - n_ro / 2.0) * (2.0 * k_max / n_ro)
+    phis = np.asarray(geom.spoke_angles)
+    kx = r[None, :] * np.cos(phis)[:, None]   # (n_sp, n_ro)
+    ky = r[None, :] * np.sin(phis)[:, None]
+
+    # grid coordinates: frequency spacing 2π/G (pixel_spacing folded into k)
+    gx = (kx.ravel() * geom.pixel_spacing) * G / (2.0 * math.pi) + G / 2.0
+    gy = (ky.ravel() * geom.pixel_spacing) * G / (2.0 * math.pi) + G / 2.0
+    n_pts = gx.size
+
+    offs = np.arange(J) - (J / 2.0 - 1.0)      # J taps: floor-based window
+    ix0 = np.floor(gx).astype(np.int64)
+    iy0 = np.floor(gy).astype(np.int64)
+    taps_x = ix0[:, None] + offs[None, :]      # (n_pts, J)
+    taps_y = iy0[:, None] + offs[None, :]
+    wx = _kb_kernel(gx[:, None] - taps_x, J, beta)
+    wy = _kb_kernel(gy[:, None] - taps_y, J, beta)
+    # periodic wrap (FFT grid is periodic; |k| ≤ π keeps wraps at the edge only)
+    taps_x = np.mod(taps_x, G)
+    taps_y = np.mod(taps_y, G)
+    # outer product over the 2D neighborhood → (n_pts, J, J)
+    w2 = wy[:, :, None] * wx[:, None, :]
+    idx2 = taps_y[:, :, None] * G + taps_x[:, None, :]
+    idx = idx2.reshape(n_pts, J * J).astype(np.int32)
+    w = w2.reshape(n_pts, J * J).astype(np.float32)
+
+    # Image-domain deapodization: dividing by the kernel's continuous FT
+    # makes gather-after-FFT match the direct type-2 DFT (no extra FFT
+    # normalization: fft2 is the plain unnormalized sum, which is exactly
+    # the type-2 definition).
+    apod_x = _kb_apodization(N, G, J, beta)
+    apod2d = np.outer(apod_x, apod_x).astype(np.float32)
+
+    meta = dict(N=N, G=G, J=J, n_spokes=n_sp, n_samples=n_ro)
+    return NufftPlan(
+        geom,
+        meta,
+        jnp.asarray(idx.ravel()),
+        jnp.asarray(w),
+        jnp.asarray(apod2d),
+        jnp.asarray(radial_dcf(geom)),
+    )
+
+
+def _pad_center(f: jnp.ndarray, N: int, G: int) -> jnp.ndarray:
+    lo = G // 2 - N // 2
+    return jnp.zeros(f.shape[:-2] + (G, G), f.dtype).at[
+        ..., lo : lo + N, lo : lo + N
+    ].set(f)
+
+
+def _crop_center(F: jnp.ndarray, N: int, G: int) -> jnp.ndarray:
+    lo = G // 2 - N // 2
+    return F[..., lo : lo + N, lo : lo + N]
+
+
+def nufft_forward(plan: NufftPlan, image: jnp.ndarray) -> jnp.ndarray:
+    """Type-2 NUFFT: (..., N, N) complex → (..., n_spokes, n_samples) complex."""
+    meta = plan.meta
+    N, G = meta["N"], meta["G"]
+    n_sp, n_ro = meta["n_spokes"], meta["n_samples"]
+    batch = image.shape[:-2]
+    f = image.reshape((-1, N, N)).astype(jnp.complex64)
+    f = f / plan.apod2d
+    Fk = jnp.fft.fftshift(
+        jnp.fft.fft2(jnp.fft.ifftshift(_pad_center(f, N, G), axes=(-2, -1))),
+        axes=(-2, -1),
+    )
+    flat = Fk.reshape(f.shape[0], G * G)
+    vals = jnp.take(flat, plan.idx, axis=1).reshape(f.shape[0], -1, meta["J"] ** 2)
+    out = jnp.sum(vals * plan.w, axis=-1)
+    return out.reshape(batch + (n_sp, n_ro))
+
+
+def nufft_adjoint(plan: NufftPlan, kdata: jnp.ndarray) -> jnp.ndarray:
+    """Exact transpose of :func:`nufft_forward` (type-1 gridding)."""
+    meta = plan.meta
+    N, G = meta["N"], meta["G"]
+    batch = kdata.shape[:-2]
+    g = kdata.reshape((-1, meta["n_spokes"] * meta["n_samples"])).astype(jnp.complex64)
+    contrib = g[:, :, None] * plan.w
+    grid = jnp.zeros((g.shape[0], G * G), jnp.complex64)
+    grid = grid.at[:, plan.idx].add(contrib.reshape(g.shape[0], -1))
+    Fk = grid.reshape(g.shape[0], G, G)
+    f = jnp.fft.fftshift(
+        jnp.fft.ifft2(jnp.fft.ifftshift(Fk, axes=(-2, -1))), axes=(-2, -1)
+    ) * (G * G)
+    f = _crop_center(f, N, G) / plan.apod2d
+    return f.reshape(batch + (N, N))
+
+
+class NufftOps(NamedTuple):
+    """Differentiable NUFFT operator bundle (mirrors RadonOps: ``fbp`` is the
+    density-compensated adjoint — the direct-recon analogue)."""
+
+    A: Callable
+    At: Callable
+    fbp: Callable
+    geom: RadialGeometry
+    image_shape: tuple
+    sino_shape: tuple
+    dcf: jnp.ndarray
+
+
+def make_radial_ops(geom: RadialGeometry, oversamp: float = 2.0, J: int = 4) -> NufftOps:
+    plan = build_nufft_plan(geom, oversamp, J)
+
+    # Complex custom_vjp: JAX's cotangent convention for C-linear maps is
+    # x̄ = conj(A†(conj(ḡ))) — verified against plain autodiff and finite
+    # differences (tests/test_nufft.py::test_complex_custom_vjp). For real
+    # operators the conjugations are no-ops, matching the Radon pairing.
+    @jax.custom_vjp
+    def A(f):
+        return nufft_forward(plan, f)
+
+    def A_fwd(f):
+        return A(f), None
+
+    def A_bwd(_, g):
+        return (jnp.conj(nufft_adjoint(plan, jnp.conj(g))),)
+
+    A.defvjp(A_fwd, A_bwd)
+
+    @jax.custom_vjp
+    def At(k):
+        return nufft_adjoint(plan, k)
+
+    def At_fwd(k):
+        return At(k), None
+
+    def At_bwd(_, g):
+        return (jnp.conj(nufft_forward(plan, jnp.conj(g))),)
+
+    At.defvjp(At_fwd, At_bwd)
+
+    def fbp(kdata, filter_name=None):
+        """MRI analogue of FBP: density-compensated gridded adjoint.
+
+        f(x) ≈ (2π)⁻² Σ_m F(k_m)·dcf_m·e^{ik_m·(x−c)} — the discretized
+        inverse Fourier integral; At supplies the e^{ik·x} sum exactly.
+        """
+        del filter_name
+        return nufft_adjoint(plan, kdata * plan.dcf) / (2.0 * math.pi) ** 2
+
+    return NufftOps(
+        A=A,
+        At=At,
+        fbp=fbp,
+        geom=geom,
+        image_shape=(geom.image_size, geom.image_size),
+        sino_shape=(geom.n_spokes, geom.samples_per_spoke),
+        dcf=plan.dcf,
+    )

@@ -78,11 +78,37 @@ def build_geometries(gc: GeometryConfig):
             angles=angles,
         )
         return dense, dense.subsample(gc.sparsity)
+    if gc.kind == "radial":
+        from pdunet_tpu.geometry import RadialGeometry
+
+        dense = RadialGeometry(
+            image_size=gc.image_size,
+            n_spokes=gc.n_angles,
+            samples_per_spoke=gc.samples_per_spoke,
+            pixel_spacing=gc.pixel_spacing,
+        )
+        return dense, dense.subsample(gc.sparsity)
     raise NotImplementedError(f"geometry kind {gc.kind!r} not built yet")
 
 
 def _loss(name: str):
     return {"l1": losses.l1, "l2": losses.l2, "charbonnier": losses.charbonnier}[name]
+
+
+def estimate_opnorm(A, At, image_shape, n_iters: int = 20, is_complex: bool = False) -> float:
+    """Largest singular value of A via power iteration on A†A (runs once,
+    eagerly, at task-build time)."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, image_shape)
+    if is_complex:
+        x = x.astype(jnp.complex64)
+    step = jax.jit(lambda v: At(A(v)))
+    for _ in range(n_iters):
+        y = step(x)
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2))
+        x = y / nrm
+    sigma2 = jnp.sum(jnp.real(jnp.conj(x) * step(x))) / jnp.sum(jnp.abs(x) ** 2)
+    return float(jnp.sqrt(sigma2))
 
 
 def _maybe_noise(key, sino, photons):
@@ -101,6 +127,11 @@ def build_task(config: ExperimentConfig) -> Task:
 
         ops_dense = make_fan_ops(dense_geom)
         ops_sparse = make_fan_ops(sparse_geom)
+    elif gc.kind == "radial":
+        from pdunet_tpu.ops.nufft import make_radial_ops
+
+        ops_dense = make_radial_ops(dense_geom)
+        ops_sparse = make_radial_ops(sparse_geom)
     else:
         ops_dense = make_parallel_ops(dense_geom)
         ops_sparse = make_parallel_ops(sparse_geom)
@@ -185,40 +216,98 @@ def build_task(config: ExperimentConfig) -> Task:
     if mc.kind in ("pdunet", "lpd"):
         from pdunet_tpu.models.primal_dual import make_lpd, make_pdunet
 
+        is_complex = gc.kind == "radial"
+        # Spectral normalization (standard LPD practice): hand the unroll
+        # operators scaled to unit norm so network inputs stay O(1)
+        # regardless of geometry — the raw NUFFT adjoint, e.g., has norm in
+        # the thousands. The 1/σ factors are plain closures around the
+        # custom_vjp ops, so gradients stay exactly paired.
+        sigma = estimate_opnorm(
+            ops_sparse.A, ops_sparse.At, (N, N), is_complex=is_complex
+        )
+        A_n = lambda f: ops_sparse.A(f) / sigma
+        At_n = lambda p: ops_sparse.At(p) / sigma
         if mc.kind == "pdunet":
             model = make_pdunet(
-                A=ops_sparse.A, At=ops_sparse.At, n_iters=mc.n_iters,
+                A=A_n, At=At_n, n_iters=mc.n_iters,
                 base_features=mc.base_features, depth=mc.depth, dtype=dtype,
+                complex_ops=is_complex,
             )
         else:
             model = make_lpd(
-                A=ops_sparse.A, At=ops_sparse.At, n_iters=mc.n_iters,
+                A=A_n, At=At_n, n_iters=mc.n_iters,
                 features=mc.lpd_features,
                 primal_channels=mc.primal_channels,
                 dual_channels=mc.dual_channels, dtype=dtype,
+                complex_ops=is_complex,
             )
 
-        def make_batch(key):
-            k1, k2 = jax.random.split(key)
-            img = phantoms(k1)
-            g = _maybe_noise(k2, ops_sparse.A(img), tc.photons_per_ray)
-            f0 = ops_sparse.fbp(g)
-            return {"image": img, "sino": g, "f0": f0}
+        if is_complex:
+            # complex-valued MRI data (BASELINE config 5): magnitude phantom
+            # with a smooth random phase field (low-order spatial harmonics)
+            def make_batch(key):
+                k1, k2 = jax.random.split(key)
+                mag = phantoms(k1)
+                coeffs = jax.random.uniform(
+                    k2, (B, 4), minval=-jnp.pi, maxval=jnp.pi
+                )
+                ax = jnp.linspace(-1.0, 1.0, N)
+                X, Y = jnp.meshgrid(ax, ax)
+                phase = (
+                    coeffs[:, 0, None, None] * X
+                    + coeffs[:, 1, None, None] * Y
+                    + coeffs[:, 2, None, None] * X * Y
+                    + coeffs[:, 3, None, None] * (X**2 - Y**2)
+                )
+                img_c = mag.astype(jnp.complex64) * jnp.exp(1j * phase)
+                g = ops_sparse.A(img_c)
+                f0 = ops_sparse.fbp(g)
+                return {"image": mag, "image_c": img_c, "sino": g, "f0": f0}
 
-        def init_params(key):
-            A_sp = sparse_geom.n_angles
-            S = sparse_geom.det_count
-            return model.init(
-                key, jnp.zeros((1, A_sp, S)), jnp.zeros((1, N, N))
-            )["params"]
+            def init_params(key):
+                A_sp, S = ops_sparse.sino_shape
+                return model.init(
+                    key,
+                    jnp.zeros((1, A_sp, S), jnp.complex64),
+                    jnp.zeros((1, N, N), jnp.complex64),
+                )["params"]
 
-        def predict(params, batch):
-            return model.apply({"params": params}, batch["sino"], batch["f0"])
+            def predict_c(params, batch):
+                # measurements scaled like A_n so the dual net sees O(1) inputs
+                return model.apply(
+                    {"params": params}, batch["sino"] / sigma, batch["f0"]
+                )
 
-        def loss_fn(params, batch):
-            return loss(predict(params, batch), batch["image"]), {}
+            def recon_fn(params, batch):
+                return jnp.abs(predict_c(params, batch))
+
+            def loss_fn(params, batch):
+                diff = predict_c(params, batch) - batch["image_c"]
+                return jnp.mean(jnp.abs(diff)), {}
+
+        else:
+            def make_batch(key):
+                k1, k2 = jax.random.split(key)
+                img = phantoms(k1)
+                g = _maybe_noise(k2, ops_sparse.A(img), tc.photons_per_ray)
+                f0 = ops_sparse.fbp(g)
+                return {"image": img, "sino": g, "f0": f0}
+
+            def init_params(key):
+                A_sp, S = ops_sparse.sino_shape
+                return model.init(
+                    key, jnp.zeros((1, A_sp, S)), jnp.zeros((1, N, N))
+                )["params"]
+
+            def recon_fn(params, batch):
+                return model.apply(
+                    {"params": params}, batch["sino"] / sigma, batch["f0"]
+                )
+
+            def loss_fn(params, batch):
+                return loss(recon_fn(params, batch), batch["image"]), {}
 
         return Task(config.name, model, init_params, make_batch, loss_fn,
-                    predict, config, N)
+                    recon_fn, config, N)
 
     raise NotImplementedError(f"model kind {mc.kind!r} not built yet")

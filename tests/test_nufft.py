@@ -1,0 +1,140 @@
+"""NUFFT validation (SURVEY.md §4.2 tier 1: direct DFT oracle on tiny grids;
+tier 2: adjoint dot-product; plus Gaussian closed-form k-space and DC-adjoint
+reconstruction quality)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdunet_tpu.geometry import RadialGeometry
+from pdunet_tpu.ops.nufft import (
+    build_nufft_plan,
+    make_radial_ops,
+    nufft_adjoint,
+    nufft_forward,
+)
+
+GEOM = RadialGeometry(image_size=32, n_spokes=48, samples_per_spoke=64)
+
+
+def rel_l2(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.linalg.norm(a - b) / np.linalg.norm(b)
+
+
+def direct_dft(geom: RadialGeometry, image: np.ndarray) -> np.ndarray:
+    """O(N²·M) type-2 DFT oracle."""
+    N = geom.image_size
+    k_max = np.pi / geom.pixel_spacing
+    n_ro = geom.samples_per_spoke
+    r = (np.arange(n_ro) - n_ro / 2.0) * (2 * k_max / n_ro)
+    phis = np.asarray(geom.spoke_angles)
+    kx = (r[None, :] * np.cos(phis)[:, None]).ravel()
+    ky = (r[None, :] * np.sin(phis)[:, None]).ravel()
+    x = (np.arange(N) - N // 2) * geom.pixel_spacing
+    X, Y = np.meshgrid(x, x)
+    E = np.exp(-1j * (np.outer(kx, X.ravel()) + np.outer(ky, Y.ravel())))
+    return (E @ image.ravel()).reshape(geom.n_spokes, n_ro)
+
+
+@pytest.fixture(scope="module")
+def plan():
+    return build_nufft_plan(GEOM)
+
+
+@pytest.fixture(scope="module")
+def image(rng=None):
+    rng = np.random.default_rng(7)
+    # smooth complex image (band-limited): blurred noise
+    img = rng.standard_normal((32, 32)) + 1j * rng.standard_normal((32, 32))
+    from scipy.ndimage import gaussian_filter
+
+    img = gaussian_filter(img.real, 2.0) + 1j * gaussian_filter(img.imag, 2.0)
+    return img.astype(np.complex64)
+
+
+def test_forward_matches_direct_dft(plan, image):
+    ours = nufft_forward(plan, jnp.asarray(image))
+    oracle = direct_dft(GEOM, image)
+    # ~5e-4 in complex64: KB J=4/σ=2 aliasing floor at the |k|=π band edge
+    assert rel_l2(ours, oracle) < 1e-3
+
+
+def test_adjoint_dot_product(plan):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.standard_normal((32, 32)) + 1j * rng.standard_normal((32, 32)),
+        jnp.complex64,
+    )
+    y = jnp.asarray(
+        rng.standard_normal((GEOM.n_spokes, GEOM.samples_per_spoke))
+        + 1j * rng.standard_normal((GEOM.n_spokes, GEOM.samples_per_spoke)),
+        jnp.complex64,
+    )
+    lhs = jnp.vdot(nufft_forward(plan, x), y)  # ⟨Ax, y⟩ with conj on first arg
+    rhs = jnp.vdot(x, nufft_adjoint(plan, y))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-4
+
+
+def test_gaussian_closed_form(plan):
+    """Gaussian image has closed-form k-space: F(k) = 2πs²·exp(−s²|k|²/2)."""
+    N, s = 32, 3.0
+    x = np.arange(N) - N // 2
+    X, Y = np.meshgrid(x, x)
+    img = np.exp(-(X**2 + Y**2) / (2 * s**2)).astype(np.complex64)
+    ours = np.asarray(nufft_forward(plan, jnp.asarray(img)))
+    k_max = np.pi
+    n_ro = GEOM.samples_per_spoke
+    r = (np.arange(n_ro) - n_ro / 2.0) * (2 * k_max / n_ro)
+    F = 2 * np.pi * s**2 * np.exp(-(s**2) * r**2 / 2.0)
+    F = np.broadcast_to(F[None, :], ours.shape)
+    assert rel_l2(ours, F) < 1e-3
+
+
+def test_dc_adjoint_recon(plan):
+    """Density-compensated adjoint reconstructs a Gaussian to a few percent."""
+    ops = make_radial_ops(GEOM)
+    N, s = 32, 4.0
+    x = np.arange(N) - N // 2
+    X, Y = np.meshgrid(x, x)
+    img = np.exp(-(X**2 + Y**2) / (2 * s**2)).astype(np.complex64)
+    recon = np.asarray(ops.fbp(ops.A(jnp.asarray(img))))
+    # ramp-DCF gridding floor: low-level streak background off the support
+    assert rel_l2(recon, img) < 0.08
+    assert abs(np.abs(recon).max() - 1.0) < 0.03
+
+
+def test_complex_custom_vjp(plan):
+    ops = make_radial_ops(GEOM)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.standard_normal((32, 32)) + 1j * rng.standard_normal((32, 32)),
+        jnp.complex64,
+    )
+    y = jnp.asarray(
+        rng.standard_normal((GEOM.n_spokes, GEOM.samples_per_spoke))
+        + 1j * rng.standard_normal((GEOM.n_spokes, GEOM.samples_per_spoke)),
+        jnp.complex64,
+    )
+
+    # d/df Re⟨A f, y⟩ → holomorphic-style grad should equal At(y) (conjugated
+    # by JAX's convention: grad of real loss wrt complex input is conj-grad)
+    def loss(f):
+        return jnp.real(jnp.vdot(y, ops.A(f)))
+
+    g = jax.grad(loss)(x)
+    expected = jnp.conj(ops.At(y))
+    assert rel_l2(g, expected) < 1e-4
+
+
+def test_batched(plan):
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(
+        rng.standard_normal((3, 32, 32)) + 1j * rng.standard_normal((3, 32, 32)),
+        jnp.complex64,
+    )
+    k = nufft_forward(plan, x)
+    assert k.shape == (3, GEOM.n_spokes, GEOM.samples_per_spoke)
+    back = nufft_adjoint(plan, k)
+    assert back.shape == x.shape
