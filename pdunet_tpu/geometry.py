@@ -20,8 +20,21 @@ plan-build time* into static MXU-friendly tensors:
 
     stage 1 (resample): r[a, j, u] = sum_i f[j, i] * T_a[i, u]
         — ONE shared (N × S_ext) matrix per angle ⇒ a batched MXU matmul.
-    stage 2 (shear-sum): p[a, s] = sum_{j, m} r[a, j, s - m] * K_a[j, m]
-        — Toeplitz in (s, m) ⇒ a grouped convolution, also MXU.
+    stage 2 (shear-sum): p[a, s] = sum_j shift(r[a, j, ·], shift_{a,j})[s]
+        — per-row fractional shifts along the detector axis.
+
+  Stage 2 is executed in the DFT domain, entirely as matmuls: the plan
+  stores rFFT(T) (so stage 1 lands directly in frequency space), the per-row
+  shift becomes an elementwise phase multiply + row reduction, and a small
+  (K × S) inverse-DFT matrix returns to detector space. Rationale, measured
+  on a v5e chip at 256²/90 angles/batch 16: the grouped-convolution
+  formulation took 180 s to compile and ~7 s to run; a take_along_axis
+  2-tap gather ran 1.6 s (TPU gathers ~10⁸ elem/s); the DFT-matmul pipeline
+  is ~100 GFLOP of pure MXU work (~ms) with second-scale compiles. The
+  fractional shift is exact (spectral), so the composite footprint is the
+  stage-1 linear splat itself. All phase tensors are stored as separate
+  cos/sin float arrays — complex constants crash the axon TPU backend on
+  host readback, and real-pair math is MXU-native anyway.
 
   Both stages are linear with *static* precomputed weights, so the adjoint is
   the exact transpose of each stage (matmul with T^T, conv with the unflipped
@@ -177,17 +190,21 @@ class ParallelPlan:
     (static across traces).
     """
 
-    ARRAY_FIELDS = ("T_x", "Kf_x", "Ka_x", "T_y", "Kf_y", "Ka_y")
+    ARRAY_FIELDS = (
+        "Tc_x", "Ts_x", "Pc_x", "Ps_x",
+        "Tc_y", "Ts_y", "Pc_y", "Ps_y",
+        "Wc", "Ws",
+    )
 
-    def __init__(self, geom, meta, T_x, Kf_x, Ka_x, T_y, Kf_y, Ka_y):
+    def __init__(self, geom, meta, *arrays):
         self.geom = geom
         self.meta = meta  # dict of static ints/tuples
-        self.T_x, self.Kf_x, self.Ka_x = T_x, Kf_x, Ka_x
-        self.T_y, self.Kf_y, self.Ka_y = T_y, Kf_y, Ka_y
+        for name, arr in zip(self.ARRAY_FIELDS, arrays):
+            setattr(self, name, arr)
 
     def tree_flatten(self):
         return (
-            (self.T_x, self.Kf_x, self.Ka_x, self.T_y, self.Kf_y, self.Ka_y),
+            tuple(getattr(self, n) for n in self.ARRAY_FIELDS),
             (self.geom, _HashableMeta(self.meta)),
         )
 
@@ -230,10 +247,16 @@ def build_parallel_plan(geom: ParallelGeometry, dtype=jnp.float32) -> ParallelPl
     Returns a :class:`ParallelPlan` holding, for each angle group
     (x-primary: |cosθ| ≥ √2/2, y-primary: the rest):
 
-      ``T_g``: (A_g, N, S_ext) stage-1 resample matrices, mass-normalized and
-               scaled by δ_p²/δ_s so the output is a line-integral estimate.
-      ``K_g``: (A_g, N, D) stage-2 shear kernels, D = 2M+1, already flipped so
-               a plain XLA cross-correlation realizes the shear-sum.
+      ``Tc_g``/``Ts_g``: (A_g, N, K) — rFFT (cos/sin parts) of the stage-1
+          splat matrices over the extended detector grid (length L = S_ext,
+          K = L//2+1), mass-normalized and scaled by δ_p²/δ_s.
+      ``Pc_g``/``Ps_g``: (A_g, N, K) — per-(angle, row) spectral shift
+          phases exp(2πi·k·(M − shift)/L) as cos/sin.
+      ``Wc``/``Ws``: (K, S) — Hermitian-folded inverse-DFT matrix back to
+          the S detector bins (c_k/L factors included).
+
+    Forward per group:  ĝ = f ·T̂  (MXU) → phase-multiply + row-reduce →
+    p = Re(Ŝ·W) (MXU). The adjoint transposes each factor exactly.
     """
     N = geom.image_size
     S = geom.det_count
@@ -254,28 +277,40 @@ def build_parallel_plan(geom: ParallelGeometry, dtype=jnp.float32) -> ParallelPl
     centers = (np.arange(N) - (N - 1) / 2.0) * dp            # pixel center coords
     s_ext = (np.arange(S_ext) - M - (S - 1) / 2.0) * ds      # extended detector grid
 
+    L = S_ext
+    K = L // 2 + 1
+    k_grid = np.arange(K)
+
     def group_tensors(idx, primary_cos):
         """primary_cos=True → primary coefficient is cosθ (x-primary group)."""
         if idx.size == 0:
-            zT = np.zeros((0, N, S_ext), np.float64)
-            zK = np.zeros((0, N, D), np.float64)
-            return zT, zK, zK
+            z = np.zeros((0, N, K), np.float64)
+            return z, z, z, z
         prim = cos[idx] if primary_cos else sin[idx]
         seco = sin[idx] if primary_cos else cos[idx]
-        # T[a, i, u] = hat(s_u - prim_a * x_i) * δ_p² / δ_s
+        # spatial splat T[a, i, u] = hat(s_u - prim_a * x_i) * δ_p²/δ_s,
+        # stored in the DFT domain (rFFT over the extended detector axis)
         pos = prim[:, None] * centers[None, :]               # (A_g, N)
         T = _hat(s_ext[None, None, :] - pos[:, :, None], ds) * (dp * dp / ds)
-        # K[a, j, m] = hat(m·δ_s - seco_a * y_j), m ∈ [-M, M]
-        m_grid = (np.arange(D) - M) * ds
-        sh = seco[:, None] * centers[None, :]                # (A_g, N)
-        K = _hat(m_grid[None, None, :] - sh[:, :, None], ds)
-        # Forward uses the flipped kernel (XLA conv = cross-correlation, and
-        # the shear-sum reads the extended grid right-to-left; see
-        # ops/radon/parallel.py); the adjoint conv uses the unflipped one.
-        return T, K[:, :, ::-1].copy(), K
+        That = np.fft.rfft(T, axis=-1)
+        # spectral shift: row j at angle a reads ext position s + M − t,
+        # t = seco_a·y_j/δ_s ⇒ phase exp(+2πi·k·(M − t)/L)
+        t = seco[:, None] * centers[None, :] / ds            # (A_g, N)
+        ang = 2.0 * math.pi * k_grid[None, None, :] * (M - t)[:, :, None] / L
+        return That.real, That.imag, np.cos(ang), np.sin(ang)
 
-    T_x, Kf_x, Ka_x = group_tensors(idx_x, primary_cos=True)
-    T_y, Kf_y, Ka_y = group_tensors(idx_y, primary_cos=False)
+    Tc_x, Ts_x, Pc_x, Ps_x = group_tensors(idx_x, primary_cos=True)
+    Tc_y, Ts_y, Pc_y, Ps_y = group_tensors(idx_y, primary_cos=False)
+
+    # Hermitian-folded inverse DFT back to the S detector bins:
+    # p[s] = Σ_k c_k/L · Re(Ŝ[k]·e^{+2πiks/L}), c_0 = c_{L/2} = 1 else 2
+    ck = np.full(K, 2.0)
+    ck[0] = 1.0
+    if L % 2 == 0:
+        ck[-1] = 1.0
+    ang_w = 2.0 * math.pi * np.outer(k_grid, np.arange(S)) / L
+    Wc = (ck[:, None] / L) * np.cos(ang_w)
+    Ws = (ck[:, None] / L) * np.sin(ang_w)
 
     # Static inverse permutation: outputs are computed as [group_x; group_y]
     # and must be reassembled into the caller's angle order.
@@ -284,7 +319,7 @@ def build_parallel_plan(geom: ParallelGeometry, dtype=jnp.float32) -> ParallelPl
     inv_perm[order] = np.arange(order.size)
 
     meta = dict(
-        N=N, S=S, M=M, D=D, S_ext=S_ext,
+        N=N, S=S, M=M, D=D, S_ext=S_ext, K=K,
         A_x=int(idx_x.size), A_y=int(idx_y.size),
         inv_perm=tuple(int(i) for i in inv_perm),
         idx_x=tuple(int(i) for i in idx_x),
@@ -293,10 +328,14 @@ def build_parallel_plan(geom: ParallelGeometry, dtype=jnp.float32) -> ParallelPl
     return ParallelPlan(
         geom,
         meta,
-        jnp.asarray(T_x, dtype),
-        jnp.asarray(Kf_x, dtype),
-        jnp.asarray(Ka_x, dtype),
-        jnp.asarray(T_y, dtype),
-        jnp.asarray(Kf_y, dtype),
-        jnp.asarray(Ka_y, dtype),
+        jnp.asarray(Tc_x, dtype),
+        jnp.asarray(Ts_x, dtype),
+        jnp.asarray(Pc_x, dtype),
+        jnp.asarray(Ps_x, dtype),
+        jnp.asarray(Tc_y, dtype),
+        jnp.asarray(Ts_y, dtype),
+        jnp.asarray(Pc_y, dtype),
+        jnp.asarray(Ps_y, dtype),
+        jnp.asarray(Wc, dtype),
+        jnp.asarray(Ws, dtype),
     )

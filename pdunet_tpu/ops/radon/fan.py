@@ -7,30 +7,31 @@ Replaces torch-radon's ``RadonFanbeam`` CUDA kernels (SURVEY.md §2b C1, §2c
     p_fan(β, γ) = p_par(θ = β + γ,  s = R·sinγ),      tanγ = u / (R + D),
 
 so the fan operator factors into the MXU-friendly parallel projector
-(:mod:`pdunet_tpu.ops.radon.parallel`) sandwiched between *static* 4-tap
-bilinear rebinning maps:
+sandwiched between static rebinning maps. The maps are *axis-separable* —
+crucial for TPU, where flat irregular gathers are ~500× slower than
+minor-axis take_along_axis (measured):
 
-    A_fan  = Rebin_{par→fan} ∘ A_par            (forward)
-    A_fan† = A_par† ∘ Rebin_{par→fan}†          (exact transpose, custom_vjp)
-    FBP_fan = FBP_par ∘ Rebin_{fan→par}         (rebinning FBP — classical)
+  * The backing parallel sinogram is computed on an **extended angle grid**
+    θ_i = β₀ + (i − margin)·Δβ covering [β₀ − γ_max, β_last + γ_max] with the
+    *same spacing as the fan scan*, so the angle coordinate of (β_k, u) is
+    exactly k + c(u): an integer row index plus a per-detector fractional
+    shift. Angle interpolation is then a 2-tap take_along_axis; no mod-π
+    flip logic is needed at apply time (the parallel projector accepts any
+    angle, conjugate rows are simply computed directly).
+  * The detector coordinate depends only on u (s = R·sinγ(u)), so detector
+    resampling is a small dense matmul with a 2-banded matrix (MXU).
 
-The rebinning tap indices/weights are precomputed in NumPy at plan-build
-time (they depend only on geometry), applied as flat gathers of a few
-hundred thousand taps — negligible next to the parallel matmuls. Parallel
-sinogram periodicity p(θ+π, s) = p(θ, −s) is honored tap-by-tap, so
-wrap-around angles flip the detector axis correctly. Limited-angle fan
-coverage simply zeroes the taps of unmeasured rays (missing-data behavior
-falls out of the model instead of being special-cased).
-
-Geometry conventions (:class:`pdunet_tpu.geometry.FanGeometry`): source at
-S(β) = (R sinβ, −R cosβ), flat detector through (−D sinβ, D cosβ) with
-coordinate axis e_u = (cosβ, sinβ); the central ray (γ=0) hits u=0.
+Forward = project_ext → (· @ Ms) → angle-gather;  adjoint is the exact
+elementwise transpose (pad-and-gather + Msᵀ matmul — no scatters in either
+direction). FBP rebins fan→parallel the same way, weights rows by the local
+direction multiplicity (conjugate rays covered ~twice on a 2π scan), ramp
+filters, and backprojects; limited-angle scans simply have zero-padded
+(unmeasured) regions.
 """
 
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,206 +48,201 @@ from pdunet_tpu.ops.radon.parallel import (
 __all__ = ["FanPlan", "build_fan_plan", "fan_project", "fan_backproject", "make_fan_ops"]
 
 
-class _RebinMap(NamedTuple):
-    """Static 4-tap gather: out[i] = Σ_t src_flat[idx[i, t]] · w[i, t]."""
-
-    idx: jnp.ndarray  # (n_out, 4) int32 into the flattened source grid
-    w: jnp.ndarray    # (n_out, 4) float32
-    out_shape: tuple
-    src_shape: tuple
-
-
 @jax.tree_util.register_pytree_node_class
 class FanPlan:
-    def __init__(self, geom, par_plan, fan_from_par, par_from_fan):
+    ARRAYS = ("Ms", "Mu", "c0", "cf", "d0", "df", "wrow")
+
+    def __init__(self, geom, meta, par_plan, Ms, Mu, c0, cf, d0, df, wrow):
         self.geom = geom
+        self.meta = meta
         self.par_plan = par_plan
-        self.fan_from_par = fan_from_par
-        self.par_from_fan = par_from_fan
+        self.Ms, self.Mu = Ms, Mu
+        self.c0, self.cf = c0, cf
+        self.d0, self.df = d0, df
+        self.wrow = wrow
 
     def tree_flatten(self):
-        maps = (
-            self.par_plan,
-            self.fan_from_par.idx, self.fan_from_par.w,
-            self.par_from_fan.idx, self.par_from_fan.w,
-        )
-        aux = (
-            self.geom,
-            self.fan_from_par.out_shape, self.fan_from_par.src_shape,
-            self.par_from_fan.out_shape, self.par_from_fan.src_shape,
-        )
-        return maps, aux
+        children = (self.par_plan, self.Ms, self.Mu, self.c0, self.cf,
+                    self.d0, self.df, self.wrow)
+        return children, (self.geom, tuple(sorted(self.meta.items())))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        geom, ffp_out, ffp_src, pff_out, pff_src = aux
-        par_plan, ffp_idx, ffp_w, pff_idx, pff_w = children
-        return cls(
-            geom,
-            par_plan,
-            _RebinMap(ffp_idx, ffp_w, ffp_out, ffp_src),
-            _RebinMap(pff_idx, pff_w, pff_out, pff_src),
-        )
+        geom, meta_items = aux
+        return cls(geom, dict(meta_items), *children)
 
 
-def _bilinear_taps(
-    ang: np.ndarray,            # requested angle coords (radians, any real)
-    s: np.ndarray,              # requested detector coords (same shape)
-    n_ang: int,                 # source angle-grid size
-    S: int,                     # source detector-grid size
-    ds: float,                  # detector spacing
-    mode: str,                  # 'parallel' | 'beta'
-    ang_range: float = math.pi, # beta mode: grid covers [0, ang_range)
-    valid: np.ndarray | None = None,
-):
-    """Static 4-tap bilinear interp taps on an (angle × detector) grid.
-
-    mode='parallel': grid is θ over [0, π); requests reduce mod 2π and use
-    the sinogram symmetry p(θ+π, s) = p(θ, −s) — including taps whose θ
-    neighbour wraps across π (those flip the detector axis tap-by-tap).
-
-    mode='beta': grid is β over [0, ang_range); periodic iff the range is a
-    full circle, otherwise out-of-range taps get zero weight (limited-angle
-    missing data).
-    """
-    s = np.array(s, np.float64)
-    if mode == "parallel":
-        dth = math.pi / n_ang
-        th = np.mod(ang, 2.0 * math.pi)
-        over = th >= math.pi
-        th = np.where(over, th - math.pi, th)
-        s = np.where(over, -s, s)
-    else:
-        dth = ang_range / n_ang
-        full = abs(ang_range - 2.0 * math.pi) < 1e-9
-        th = np.mod(ang, 2.0 * math.pi) if full else np.array(ang, np.float64)
-
-    pos = th / dth
-    i0 = np.floor(pos).astype(np.int64)
-    fa = pos - i0
-
-    idx_list, w_list = [], []
-    c_s = (S - 1) / 2.0
-    for ia, wa in [(i0, 1.0 - fa), (i0 + 1, fa)]:
-        if mode == "parallel":
-            wrapped = (ia >= n_ang) | (ia < 0)
-            s_tap = np.where(wrapped, -s, s)
-            ok_a = np.ones_like(ia, bool)
-        else:
-            s_tap = s
-            ok_a = np.ones_like(ia, bool) if full else (ia >= 0) & (ia < n_ang)
-        ia_m = np.mod(ia, n_ang)
-        spos = s_tap / ds + c_s
-        j0 = np.floor(spos).astype(np.int64)
-        fs = spos - j0
-        for jb, wb in [(j0, 1.0 - fs), (j0 + 1, fs)]:
-            ok = ok_a & (jb >= 0) & (jb < S)
-            if valid is not None:
-                ok = ok & valid
-            jb_c = np.clip(jb, 0, S - 1)
-            idx_list.append(ia_m * S + jb_c)
-            w_list.append(np.where(ok, wa * wb, 0.0))
-    idx = np.stack(idx_list, axis=-1).astype(np.int32)
-    w = np.stack(w_list, axis=-1).astype(np.float32)
-    return idx, w
+def _hat_matrix(positions: np.ndarray, size: int, spacing: float,
+                valid: np.ndarray | None = None) -> np.ndarray:
+    """(size, len(positions)) 2-banded linear-interp matrix: column p has hat
+    taps at grid index positions[p]/spacing + center."""
+    n = positions.size
+    c = (size - 1) / 2.0
+    pos = positions / spacing + c
+    j0 = np.floor(pos).astype(np.int64)
+    frac = pos - j0
+    M = np.zeros((size, n))
+    ok = (j0 >= 0) & (j0 < size)
+    if valid is not None:
+        ok &= valid
+    cols = np.arange(n)
+    M[np.clip(j0, 0, size - 1), cols] += np.where(ok, 1.0 - frac, 0.0)
+    ok1 = (j0 + 1 >= 0) & (j0 + 1 < size)
+    if valid is not None:
+        ok1 &= valid
+    M[np.clip(j0 + 1, 0, size - 1), cols] += np.where(ok1, frac, 0.0)
+    return M
 
 
 def build_fan_plan(geom: FanGeometry, dtype=jnp.float32) -> FanPlan:
-    R = geom.source_distance
-    Dd = geom.det_distance
-    n_beta = geom.n_angles
-    n_u = geom.det_count
-    du = geom.det_spacing
-    dp = geom.pixel_spacing
+    R, Dd = geom.source_distance, geom.det_distance
+    n_beta, n_u = geom.n_angles, geom.det_count
+    du, dp = geom.det_spacing, geom.pixel_spacing
     betas = np.asarray(geom.angles, np.float64)
-    # β grid spacing/coverage for inverse-rebinning interpolation. Uniform
-    # grids only (the FanGeometry constructor builds uniform grids).
-    beta_range = betas[-1] - betas[0] + (betas[1] - betas[0]) if n_beta > 1 else 2 * math.pi
+    dbeta = betas[1] - betas[0] if n_beta > 1 else 2 * math.pi
+    beta_span = betas[-1] - betas[0] + dbeta
+    full_circle = abs(beta_span - 2 * math.pi) < 1e-6
 
     u = (np.arange(n_u) - (n_u - 1) / 2.0) * du
     gamma = np.arctan2(u, R + Dd)
     gamma_max = float(np.abs(gamma).max())
-
-    # Backing parallel geometry: same angular density as the fan scan,
-    # detector grid covering the fan FOV radius R·sin(γ_max).
-    n_th = max(int(round(n_beta * math.pi / beta_range)), 16)
-    ds = dp
     fov = R * math.sin(gamma_max)
-    S_par = 2 * int(math.ceil(fov / ds)) + 1
+
+    ds = dp
+    S_par = 2 * int(math.ceil(fov / ds)) + 3
+
+    # extended parallel angle grid, same spacing as the fan scan
+    margin = int(math.ceil(gamma_max / dbeta)) + 2
+    n_ext = n_beta + 2 * margin
+    thetas = betas[0] + (np.arange(n_ext) - margin) * dbeta
     par_geom = ParallelGeometry(
         image_size=geom.image_size,
-        n_angles=n_th,
         det_count=S_par,
         det_spacing=ds,
         pixel_spacing=dp,
-    )
-    par_angles = np.asarray(par_geom.angles)
-
-    # fan ← parallel: request (θ = β + γ(u), s = R sinγ(u)) for every (β, u)
-    TH = betas[:, None] + gamma[None, :]
-    SS = np.broadcast_to(R * np.sin(gamma)[None, :], TH.shape)
-    idx_f, w_f = _bilinear_taps(
-        TH.ravel(), SS.ravel(), n_th, S_par, ds, mode="parallel"
-    )
-    fan_from_par = _RebinMap(
-        jnp.asarray(idx_f), jnp.asarray(w_f), (n_beta, n_u), (n_th, S_par)
+        angles=tuple(float(t) for t in thetas),
     )
 
-    # parallel ← fan (for rebinning FBP): request (β = θ − γ(s), u(s)) for
-    # every parallel (θ, s); rays with |s| ≥ fan FOV are unmeasured.
+    # forward rebin pieces: angle index of (β_k, u) is k + margin + γ(u)/Δβ
+    c = margin + gamma / dbeta
+    c0 = np.floor(c).astype(np.int32)
+    cf = (c - c0).astype(np.float32)
+    # detector resample matrix: p_par sampled at s(u) = R sinγ(u)
+    Ms = _hat_matrix(R * np.sin(gamma), S_par, ds)
+
+    # inverse rebin pieces (FBP): β index of (θ_i, s) is i − margin − γ(s)/Δβ
     s_par = (np.arange(S_par) - (S_par - 1) / 2.0) * ds
     sin_g = np.clip(s_par / R, -1.0, 1.0)
     g_of_s = np.arcsin(sin_g)
-    u_of_s = (R + Dd) * np.tan(g_of_s)
-    B = par_angles[:, None] - g_of_s[None, :]
-    U = np.broadcast_to(u_of_s[None, :], B.shape)
-    valid = np.broadcast_to((np.abs(s_par) < fov)[None, :], B.shape)
-    idx_i, w_i = _bilinear_taps(
-        (B - betas[0]).ravel(),
-        U.ravel(),
-        n_beta,
-        n_u,
-        du,
-        mode="beta",
-        ang_range=beta_range,
-        valid=valid.ravel(),
+    valid_s = np.abs(s_par) < fov
+    d = -margin - g_of_s / dbeta
+    d0 = np.floor(d).astype(np.int32)
+    df = (d - d0).astype(np.float32)
+    Mu = _hat_matrix((R + Dd) * np.tan(g_of_s), n_u, du, valid=valid_s)
+
+    # FBP row weights: Δβ per covered direction, shared across the conjugate
+    # rows that measure the same θ mod π (triangular-window multiplicity so
+    # odd spoke counts / interleaved conjugates are handled smoothly).
+    th_mod = np.mod(thetas, math.pi)
+    diff = np.abs(th_mod[:, None] - th_mod[None, :])
+    diff = np.minimum(diff, math.pi - diff)
+    mult = np.maximum(np.sum(np.maximum(1.0 - diff / dbeta, 0.0), axis=1), 1.0)
+    wrow = (dbeta / mult * ds / (dp * dp)).astype(np.float32)
+
+    meta = dict(
+        n_beta=n_beta, n_u=n_u, n_ext=n_ext, S_par=S_par, margin=margin,
+        full_circle=bool(full_circle),
+        # must cover max |c0|+1 in both gather directions: c0 ≤ margin + γ_max/Δβ < 2·margin
+        pad_beta=int(2 * margin + 2),
+        pad_ext=int(2 * margin + int(math.ceil(gamma_max / dbeta)) + 2),
     )
-    par_from_fan = _RebinMap(
-        jnp.asarray(idx_i), jnp.asarray(w_i), (n_th, S_par), (n_beta, n_u)
+    return FanPlan(
+        geom,
+        meta,
+        build_parallel_plan(par_geom, dtype),
+        jnp.asarray(Ms, dtype),
+        jnp.asarray(Mu, dtype),
+        jnp.asarray(c0),
+        jnp.asarray(cf, dtype),
+        jnp.asarray(d0),
+        jnp.asarray(df, dtype),
+        jnp.asarray(wrow, dtype),
     )
 
-    return FanPlan(geom, build_parallel_plan(par_geom, dtype), fan_from_par, par_from_fan)
+
+def _gather_rows(x: jnp.ndarray, base: jnp.ndarray, frac: jnp.ndarray,
+                 n_out: int, pad: int) -> jnp.ndarray:
+    """Separable 2-tap angle interp: x (B, n_in, U) → (B, n_out, U) with
+    out[b, k, u] = (1−frac_u)·x[b, k + base_u, u] + frac_u·x[b, k + base_u + 1, u].
+
+    ``base`` may be negative; ``pad`` zero-rows are added on both sides so
+    every index lands in range. Gathers run along the minor axis (transpose
+    sandwich) — the TPU-fast layout.
+    """
+    B, n_in, U = x.shape
+    xT = jnp.moveaxis(x, 1, 2)                         # (B, U, n_in)
+    xT = jnp.pad(xT, ((0, 0), (0, 0), (pad, pad)))
+    idx = (
+        jnp.arange(n_out)[None, :] + base[:, None] + pad
+    )                                                   # (U, n_out)
+    idx = jnp.broadcast_to(idx[None], (B, U, n_out))
+    v0 = jnp.take_along_axis(xT, idx, axis=-1)
+    v1 = jnp.take_along_axis(xT, idx + 1, axis=-1)
+    w = frac[None, :, None]
+    return jnp.moveaxis((1.0 - w) * v0 + w * v1, 2, 1)
 
 
-def _rebin_apply(m: _RebinMap, x: jnp.ndarray) -> jnp.ndarray:
-    """x (B, *src_shape) → (B, *out_shape) via the static 4-tap gather."""
-    B = x.shape[0]
-    flat = x.reshape(B, -1)
-    vals = jnp.take(flat, m.idx.ravel(), axis=1).reshape(B, -1, 4)
-    out = jnp.sum(vals * m.w, axis=-1)
-    return out.reshape((B,) + m.out_shape)
-
-
-def _rebin_transpose(m: _RebinMap, y: jnp.ndarray) -> jnp.ndarray:
-    """Exact transpose of :func:`_rebin_apply` (scatter-add, static indices)."""
-    B = y.shape[0]
-    flat = y.reshape(B, -1)
-    contrib = flat[:, :, None] * m.w  # (B, n_out, 4)
-    src = jnp.zeros((B, int(np.prod(m.src_shape))), y.dtype)
-    src = src.at[:, m.idx.ravel()].add(contrib.reshape(B, -1))
-    return src.reshape((B,) + m.src_shape)
+def _scatter_rows_T(y: jnp.ndarray, base: jnp.ndarray, frac: jnp.ndarray,
+                    n_in: int, pad: int) -> jnp.ndarray:
+    """Exact transpose of :func:`_gather_rows` — still a gather:
+    x̃[b, i, u] = (1−frac_u)·y[b, i − base_u, u] + frac_u·y[b, i − base_u − 1, u]."""
+    B, n_out, U = y.shape
+    yT = jnp.moveaxis(y, 1, 2)
+    yT = jnp.pad(yT, ((0, 0), (0, 0), (pad, pad)))
+    idx = jnp.arange(n_in)[None, :] - base[:, None] + pad
+    idx = jnp.broadcast_to(idx[None], (B, U, n_in))
+    v0 = jnp.take_along_axis(yT, idx, axis=-1)
+    v1 = jnp.take_along_axis(yT, idx - 1, axis=-1)
+    w = frac[None, :, None]
+    return jnp.moveaxis((1.0 - w) * v0 + w * v1, 2, 1)
 
 
 def fan_project(plan: FanPlan, image: jnp.ndarray) -> jnp.ndarray:
+    meta = plan.meta
     f, restore = _collapse_batch(image, 2)
-    p_par = parallel_project(plan.par_plan, f)
-    return restore(_rebin_apply(plan.fan_from_par, p_par))
+    p_par = parallel_project(plan.par_plan, f)               # (B, n_ext, S_par)
+    q = jnp.einsum("bis,su->biu", p_par, plan.Ms)            # detector resample
+    p_fan = _gather_rows(q, plan.c0, plan.cf, meta["n_beta"], meta["pad_beta"])
+    return restore(p_fan)
 
 
 def fan_backproject(plan: FanPlan, sino: jnp.ndarray) -> jnp.ndarray:
+    meta = plan.meta
     p, restore = _collapse_batch(sino, 2)
-    p_par = _rebin_transpose(plan.fan_from_par, p)
+    q_t = _scatter_rows_T(p, plan.c0, plan.cf, meta["n_ext"], meta["pad_beta"])
+    p_par = jnp.einsum("biu,su->bis", q_t, plan.Ms)
     return restore(parallel_backproject(plan.par_plan, p_par))
+
+
+def fan_rebin_to_parallel(plan: FanPlan, sino: jnp.ndarray) -> jnp.ndarray:
+    """Estimate the extended parallel sinogram from fan data (FBP path)."""
+    meta = plan.meta
+    p, restore = _collapse_batch(sino, 2)
+    if meta["full_circle"]:
+        # periodic β: wrap rows instead of zero-padding
+        pad = meta["pad_ext"]
+        p = jnp.concatenate([p[:, -pad:], p, p[:, :pad]], axis=1)
+        base = plan.d0 + pad
+        p_ext = _gather_rows(
+            jnp.einsum("bku,us->bks", p, plan.Mu),
+            base, plan.df, meta["n_ext"], 2,
+        )
+    else:
+        p_ext = _gather_rows(
+            jnp.einsum("bku,us->bks", p, plan.Mu),
+            plan.d0, plan.df, meta["n_ext"], meta["pad_ext"],
+        )
+    return restore(p_ext)
 
 
 def make_fan_ops(geom: FanGeometry, dtype=jnp.float32) -> RadonOps:
@@ -254,7 +250,7 @@ def make_fan_ops(geom: FanGeometry, dtype=jnp.float32) -> RadonOps:
     from pdunet_tpu.ops.radon.filtering import filter_sinogram
 
     plan = build_fan_plan(geom, dtype)
-    par_geom = plan.par_plan.geom
+    ds = plan.par_plan.geom.det_spacing
 
     @jax.custom_vjp
     def A(f):
@@ -280,15 +276,11 @@ def make_fan_ops(geom: FanGeometry, dtype=jnp.float32) -> RadonOps:
 
     At.defvjp(At_fwd, At_bwd)
 
-    bp_scale = (
-        math.pi / par_geom.n_angles * par_geom.det_spacing / (par_geom.pixel_spacing ** 2)
-    )
-
     def fbp(p, filter_name: str = "ramp"):
         pf, restore = _collapse_batch(p, 2)
-        p_par = _rebin_apply(plan.par_from_fan, pf)
-        filtered = filter_sinogram(p_par, par_geom.det_spacing, filter_name)
-        return restore(bp_scale * parallel_backproject(plan.par_plan, filtered))
+        p_ext = fan_rebin_to_parallel(plan, pf)
+        filt = filter_sinogram(p_ext, ds, filter_name) * plan.wrow[None, :, None]
+        return restore(parallel_backproject(plan.par_plan, filt))
 
     return RadonOps(
         A=A,

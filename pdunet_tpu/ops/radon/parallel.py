@@ -54,70 +54,75 @@ def _collapse_batch(x: jnp.ndarray, ndim_event: int):
     return xb, restore
 
 
-def _stage2_fwd(r: jnp.ndarray, Kf: jnp.ndarray, S: int) -> jnp.ndarray:
-    """Shear-sum: r (B, A, N, S_ext), Kf (A, N, D) → p (B, A, S).
+def _ein(sub, *ops):
+    return jnp.einsum(sub, *ops, preferred_element_type=jnp.float32)
 
-    Grouped valid correlation: each angle is its own group; the kernel spans
-    the full row extent N (collapsing it) and D detector bins.
+
+def _project_group(f, Tc, Ts, Pc, Ps, Wc, Ws, contract_x: bool):
+    """One angle group of the DFT-domain pipeline: f (B,N,N) → p (B,A_g,S).
+
+    ĝ = f·T̂ (stage-1 splat, directly in frequency space; MXU matmul) →
+    Ŝ = Σ_rows ĝ·φ (spectral shear-sum; elementwise + reduction) →
+    p = Re(Ŝ·W) (inverse DFT as a matmul).
+
+    ``contract_x``: True contracts the image x-axis (x-primary group, rows
+    indexed by j); False contracts the y-axis (rows indexed by i).
     """
-    A, N, D = Kf.shape
-    out = lax.conv_general_dilated(
-        r,
-        Kf.reshape(A, 1, N, D),
-        window_strides=(1, 1),
-        padding=((0, 0), (0, 0)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=A,
-    )
-    return out.reshape(r.shape[0], A, S)
+    sub1 = "bji,aik->bajk" if contract_x else "bji,ajk->baik"
+    gr = _ein(sub1, f, Tc)
+    gi = _ein(sub1, f, Ts)
+    sub2 = "bajk,ajk->bak" if contract_x else "baik,aik->bak"
+    s_re = _ein(sub2, gr, Pc) - _ein(sub2, gi, Ps)
+    s_im = _ein(sub2, gr, Ps) + _ein(sub2, gi, Pc)
+    return _ein("bak,ks->bas", s_re, Wc) - _ein("bak,ks->bas", s_im, Ws)
 
 
-def _stage2_adj(p: jnp.ndarray, Ka: jnp.ndarray, S_ext: int, M: int) -> jnp.ndarray:
-    """Transpose of ``_stage2_fwd``: p (B, A, S) → r̃ (B, A, N, S_ext)."""
-    A, N, D = Ka.shape
-    out = lax.conv_general_dilated(
-        p.reshape(p.shape[0], A, 1, p.shape[-1]),
-        Ka.reshape(A * N, 1, 1, D),
-        window_strides=(1, 1),
-        padding=((0, 0), (2 * M, 2 * M)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=A,
-    )
-    return out.reshape(p.shape[0], A, N, S_ext)
+def _backproject_group(p, Tc, Ts, Pc, Ps, Wc, Ws, contract_x: bool):
+    """Exact transpose of :func:`_project_group`: p (B,A_g,S) → f̃ (B,N,N)."""
+    s_re = _ein("bas,ks->bak", p, Wc)
+    s_im = -_ein("bas,ks->bak", p, Ws)
+    sub2t = "bak,ajk->bajk" if contract_x else "bak,aik->baik"
+    h_re = _ein(sub2t, s_re, Pc) + _ein(sub2t, s_im, Ps)
+    h_im = -_ein(sub2t, s_re, Ps) + _ein(sub2t, s_im, Pc)
+    sub1t = "bajk,aik->bji" if contract_x else "baik,ajk->bji"
+    return _ein(sub1t, h_re, Tc) + _ein(sub1t, h_im, Ts)
 
 
 def parallel_project(plan: ParallelPlan, image: jnp.ndarray) -> jnp.ndarray:
     """Factored parallel-beam forward projection. image (..., N, N) → (..., A, S)."""
     meta = plan.meta
-    S, M = meta["S"], meta["M"]
     f, restore = _collapse_batch(image, 2)
+    dt = plan.Wc.dtype
+    f = f.astype(dt)
     parts = []
     if meta["A_x"]:
-        r = jnp.einsum("bji,aiu->baju", f, plan.T_x)   # resample rows along x
-        parts.append(_stage2_fwd(r, plan.Kf_x, S))
+        parts.append(_project_group(
+            f, plan.Tc_x, plan.Ts_x, plan.Pc_x, plan.Ps_x, plan.Wc, plan.Ws, True))
     if meta["A_y"]:
-        r = jnp.einsum("bji,aju->baiu", f, plan.T_y)   # resample columns along y
-        parts.append(_stage2_fwd(r, plan.Kf_y, S))
+        parts.append(_project_group(
+            f, plan.Tc_y, plan.Ts_y, plan.Pc_y, plan.Ps_y, plan.Wc, plan.Ws, False))
     p = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     p = jnp.take(p, jnp.asarray(meta["inv_perm"]), axis=1)
-    return restore(p)
+    return restore(p.astype(image.dtype))
 
 
 def parallel_backproject(plan: ParallelPlan, sino: jnp.ndarray) -> jnp.ndarray:
     """Exact transpose of :func:`parallel_project`. sino (..., A, S) → (..., N, N)."""
     meta = plan.meta
-    S_ext, M, N = meta["S_ext"], meta["M"], meta["N"]
+    N = meta["N"]
     p, restore = _collapse_batch(sino, 2)
-    f = jnp.zeros((p.shape[0], N, N), p.dtype)
+    dt = plan.Wc.dtype
+    p = p.astype(dt)
+    f = jnp.zeros((p.shape[0], N, N), jnp.float32)
     if meta["A_x"]:
         px = jnp.take(p, jnp.asarray(meta["idx_x"]), axis=1)
-        rt = _stage2_adj(px, plan.Ka_x, S_ext, M)
-        f = f + jnp.einsum("baju,aiu->bji", rt, plan.T_x)
+        f = f + _backproject_group(
+            px, plan.Tc_x, plan.Ts_x, plan.Pc_x, plan.Ps_x, plan.Wc, plan.Ws, True)
     if meta["A_y"]:
         py = jnp.take(p, jnp.asarray(meta["idx_y"]), axis=1)
-        rt = _stage2_adj(py, plan.Ka_y, S_ext, M)
-        f = f + jnp.einsum("baiu,aju->bji", rt, plan.T_y)
-    return restore(f)
+        f = f + _backproject_group(
+            py, plan.Tc_y, plan.Ts_y, plan.Pc_y, plan.Ps_y, plan.Wc, plan.Ws, False)
+    return restore(f.astype(sino.dtype))
 
 
 # ---------------------------------------------------------------------------

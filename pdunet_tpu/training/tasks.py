@@ -46,6 +46,17 @@ class Task(NamedTuple):
     image_size: int
 
 
+def _finalize(name, model, init_params, make_batch, loss_fn, recon_fn, config, N):
+    """Jit the eager-callable task entry points: on the TPU every eager
+    primitive is a separate (remote) compile, so un-jitted batch synthesis
+    or model.init costs minutes of compile churn. One jit each fixes it;
+    under an outer jit (the train step) they simply inline."""
+    return Task(
+        name, model, jax.jit(init_params), jax.jit(make_batch), loss_fn,
+        recon_fn, config, N,
+    )
+
+
 def build_geometries(gc: GeometryConfig):
     """Dense + sparse geometry pair for a config (parallel for now)."""
     if gc.kind == "parallel":
@@ -166,8 +177,8 @@ def build_task(config: ExperimentConfig) -> Task:
             pred = predict(params, batch)
             return loss(pred, batch["image"]), {}
 
-        return Task(config.name, model, init_params, make_batch, loss_fn,
-                    predict, config, N)
+        return _finalize(config.name, model, init_params, make_batch, loss_fn,
+                         predict, config, N)
 
     if mc.kind == "sino_unet":
         model = UNet(out_channels=1, base_features=mc.base_features,
@@ -210,8 +221,8 @@ def build_task(config: ExperimentConfig) -> Task:
                 aux["img_loss"] = li
             return total, aux
 
-        return Task(config.name, model, init_params, make_batch, loss_fn,
-                    recon_fn, config, N)
+        return _finalize(config.name, model, init_params, make_batch, loss_fn,
+                         recon_fn, config, N)
 
     if mc.kind in ("pdunet", "lpd"):
         from pdunet_tpu.models.primal_dual import make_lpd, make_pdunet
@@ -307,7 +318,7 @@ def build_task(config: ExperimentConfig) -> Task:
             def loss_fn(params, batch):
                 return loss(recon_fn(params, batch), batch["image"]), {}
 
-        return Task(config.name, model, init_params, make_batch, loss_fn,
-                    recon_fn, config, N)
+        return _finalize(config.name, model, init_params, make_batch, loss_fn,
+                         recon_fn, config, N)
 
     raise NotImplementedError(f"model kind {mc.kind!r} not built yet")

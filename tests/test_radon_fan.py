@@ -63,7 +63,7 @@ def test_fan_adjoint_dot_product(plan, rng):
     )
     lhs = jnp.vdot(fan_project(plan, x), y)
     rhs = jnp.vdot(x, fan_backproject(plan, y))
-    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+    assert abs(lhs - rhs) / abs(lhs) < 5e-5
 
 
 def test_fan_fbp_roundtrip():
@@ -85,7 +85,7 @@ def test_fan_custom_vjp(plan, rng):
         rng.standard_normal((GEOM.n_angles, GEOM.det_count)), jnp.float32
     )
     g1 = jax.grad(lambda f: jnp.vdot(ops.A(f), y))(x)
-    assert rel_l2(g1, ops.At(y)) < 1e-5
+    assert rel_l2(g1, ops.At(y)) < 5e-5
 
 
 def test_limited_angle_fan():

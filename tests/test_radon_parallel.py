@@ -89,7 +89,7 @@ def test_adjoint_dot_product(plan, rng):
     aty = parallel_backproject(plan, y)
     lhs = jnp.vdot(ax, y)
     rhs = jnp.vdot(x, aty)
-    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+    assert abs(lhs - rhs) / abs(lhs) < 5e-5
 
 
 def test_adjoint_equals_linear_transpose(plan, rng):
@@ -100,7 +100,7 @@ def test_adjoint_equals_linear_transpose(plan, rng):
     )
     (transposed,) = jax.linear_transpose(lambda f: parallel_project(plan, f), x_shape)(y)
     ours = parallel_backproject(plan, y)
-    assert rel_l2(ours, transposed) < 1e-5
+    assert rel_l2(ours, transposed) < 5e-5
 
 
 def test_custom_vjp_pairing(rng):
@@ -111,9 +111,9 @@ def test_custom_vjp_pairing(rng):
     )
     # grad of <A(f), y> wrt f is At(y); grad of <At(p), x> wrt p is A(x)
     g1 = jax.grad(lambda f: jnp.vdot(ops.A(f), y))(x)
-    assert rel_l2(g1, ops.At(y)) < 1e-5
+    assert rel_l2(g1, ops.At(y)) < 5e-5
     g2 = jax.grad(lambda p: jnp.vdot(ops.At(p), x))(y)
-    assert rel_l2(g2, ops.A(x)) < 1e-5
+    assert rel_l2(g2, ops.A(x)) < 5e-5
 
 
 def test_batched_shapes(plan, rng):

@@ -1,0 +1,76 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4.2 tier 6): the sharded step runs, and matches the unsharded
+step bit-for-tolerance with the same seed."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax.training import train_state
+
+from pdunet_tpu.configs import get_preset
+from pdunet_tpu.parallel import make_mesh, make_sharded_train_step, replicate
+from pdunet_tpu.training.loop import make_train_step
+from pdunet_tpu.training.tasks import build_task
+
+
+@pytest.fixture(scope="module")
+def task():
+    config = get_preset("fbp_unet_parallel")
+    config = dataclasses.replace(
+        config,
+        geometry=dataclasses.replace(
+            config.geometry, image_size=32, n_angles=40, sparsity=4
+        ),
+        model=dataclasses.replace(config.model, base_features=8, depth=2),
+        train=dataclasses.replace(config.train, batch_size=8),
+    )
+    return build_task(config)
+
+
+def _fresh_state(task):
+    params = task.init_params(jax.random.PRNGKey(1))
+    return train_state.TrainState.create(
+        apply_fn=None, params=params, tx=optax.adam(1e-3)
+    )
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_runs_and_matches_single(task):
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(42)
+
+    state_1 = _fresh_state(task)
+    step_1 = make_train_step(task, donate=False)
+    state_1_next, metrics_1 = step_1(state_1, key)
+
+    state_8 = replicate(_fresh_state(task), mesh)
+    step_8 = make_sharded_train_step(task, mesh, donate=False)
+    state_8_next, metrics_8 = step_8(state_8, key)
+
+    # same seed → same synthesized batch → same loss and same updated params
+    np.testing.assert_allclose(
+        float(metrics_1["loss"]), float(metrics_8["loss"]), rtol=1e-5
+    )
+    l1 = jax.tree_util.tree_leaves(state_1_next.params)
+    l8 = jax.tree_util.tree_leaves(state_8_next.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_multi_step_training(task):
+    mesh = make_mesh()
+    state = replicate(_fresh_state(task), mesh)
+    step = make_sharded_train_step(task, mesh)
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()

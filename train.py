@@ -68,6 +68,9 @@ def resolve_config(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from pdunet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.platform:
         import jax
 
