@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Inference / evaluation entry point (SURVEY.md §2b C11, §3.2).
+
+Reference shape: load checkpoint → run test split → per-slice PSNR/SSIM →
+aggregate mean±std table → qualitative PNG export.
+
+Usage:
+  python infer.py --preset fbp_unet_parallel --ckpt-dir runs/x --n-slices 64
+  python infer.py --preset pdunet_parallel --data slices.h5 --split test
+  python infer.py --preset ... --export-png out/ --export-count 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset")
+    p.add_argument("--config")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    p.add_argument("--ckpt-dir", default=None, help="checkpoint to evaluate")
+    p.add_argument("--data", default=None, help="HDF5 slice dataset (else synthetic)")
+    p.add_argument("--split", default="test")
+    p.add_argument("--n-slices", type=int, default=64,
+                   help="synthetic test-set size (ignored with --data)")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--export-png", default=None, help="directory for PNG dumps")
+    p.add_argument("--export-count", type=int, default=4)
+    p.add_argument("--json-out", default=None, help="write metrics JSON here")
+    p.add_argument("--platform", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from pdunet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from train import resolve_config  # same config resolution as training
+
+    args.resume = "auto"  # resolve_config expects train.py's arg surface
+    args.steps = None
+    config = resolve_config(args)
+    import jax.numpy as jnp
+
+    from pdunet_tpu.ops.metrics import psnr, ssim
+    from pdunet_tpu.training.tasks import build_task
+
+    if args.batch:
+        config = dataclasses.replace(
+            config, train=dataclasses.replace(config.train, batch_size=args.batch)
+        )
+    task = build_task(config)
+    B = config.train.batch_size
+
+    key = jax.random.PRNGKey(0)
+    params = task.init_params(key)
+    if args.ckpt_dir:
+        from pdunet_tpu.training.checkpoint import CheckpointManager
+        from pdunet_tpu.training.loop import build_state
+
+        mgr = CheckpointManager(args.ckpt_dir)
+        template = build_state(task, params=params)
+        restored = mgr.restore(template)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+        params = restored.params
+        print(f"[infer] restored step {int(restored.step)} from {args.ckpt_dir}")
+    else:
+        print("[infer] WARNING: no --ckpt-dir; evaluating randomly-initialized params")
+
+    recon_j = jax.jit(lambda p, b: task.recon_fn(p, b))
+    metric_j = jax.jit(
+        lambda r, t: (psnr(r, t), ssim(r, t))
+    )
+
+    all_psnr, all_ssim = [], []
+    exported = 0
+    export_dir = pathlib.Path(args.export_png) if args.export_png else None
+    if export_dir:
+        export_dir.mkdir(parents=True, exist_ok=True)
+
+    def eval_batch(batch, tag):
+        nonlocal exported
+        recon = recon_j(params, batch)
+        ps, ss = metric_j(recon, batch["image"])
+        all_psnr.extend(np.asarray(ps).ravel().tolist())
+        all_ssim.extend(np.asarray(ss).ravel().tolist())
+        if export_dir and exported < args.export_count:
+            from PIL import Image
+
+            def dump(arr, name):
+                a = np.asarray(arr, np.float32)
+                a = (a - a.min()) / max(a.max() - a.min(), 1e-9)
+                Image.fromarray((a * 255).astype(np.uint8)).save(
+                    export_dir / f"{tag}_{name}.png"
+                )
+
+            for i in range(min(args.export_count - exported, recon.shape[0])):
+                dump(recon[i], f"{exported:03d}_recon")
+                dump(batch["image"][i], f"{exported:03d}_gt")
+                exported += 1
+
+    if args.data:
+        from pdunet_tpu.data.datasets import SliceDataset, iterate_batches
+
+        ds = SliceDataset(args.data, split=args.split)
+        # synthesize measurements for file-backed slices through the task's
+        # physics: reuse make_batch's operators by projecting the real slices
+        from pdunet_tpu.training.tasks import build_geometries
+
+        for bi, images in enumerate(
+            iterate_batches(ds, B, shuffle=False, epochs=1)
+        ):
+            batch = task_batch_from_images(task, jnp.asarray(images))
+            eval_batch(batch, f"b{bi}")
+    else:
+        n_batches = max(1, args.n_slices // B)
+        data_key = jax.random.PRNGKey(args.seed)
+        for bi in range(n_batches):
+            batch = task.make_batch(jax.random.fold_in(data_key, bi))
+            eval_batch(batch, f"b{bi}")
+
+    table = {
+        "n_slices": len(all_psnr),
+        "psnr_mean": float(np.mean(all_psnr)),
+        "psnr_std": float(np.std(all_psnr)),
+        "ssim_mean": float(np.mean(all_ssim)),
+        "ssim_std": float(np.std(all_ssim)),
+    }
+    print(f"[infer] {config.name}: "
+          f"PSNR {table['psnr_mean']:.2f} ± {table['psnr_std']:.2f} dB  "
+          f"SSIM {table['ssim_mean']:.4f} ± {table['ssim_std']:.4f}  "
+          f"({table['n_slices']} slices)")
+    if args.json_out:
+        pathlib.Path(args.json_out).write_text(json.dumps(table, indent=2))
+    return 0
+
+
+def task_batch_from_images(task, images):
+    """Build a task batch from given ground-truth slices (file-backed eval):
+    runs the same measurement synthesis as make_batch but with fixed images."""
+    import jax
+    import jax.numpy as jnp
+
+    # The synthesis path is deterministic given the images: reuse the task's
+    # operators through its recon inputs. We reproduce the per-task batch
+    # structure here.
+    from pdunet_tpu.training.tasks import build_geometries
+
+    config = task.config
+    kind = config.model.kind
+    gc = config.geometry
+    if gc.kind == "fan":
+        from pdunet_tpu.ops.radon.fan import make_fan_ops
+
+        _, sparse = build_geometries(gc)
+        ops = make_fan_ops(sparse)
+    elif gc.kind == "radial":
+        from pdunet_tpu.ops.nufft import make_radial_ops
+
+        _, sparse = build_geometries(gc)
+        ops = make_radial_ops(sparse)
+    else:
+        from pdunet_tpu.ops.radon.parallel import make_parallel_ops
+
+        dense_g, sparse = build_geometries(gc)
+        ops = make_parallel_ops(sparse)
+
+    if kind == "fbp_unet":
+        sino = ops.A(images)
+        return {"image": images, "fbp": ops.fbp(sino)}
+    if kind == "sino_unet":
+        from pdunet_tpu.data.pipeline import interp_upsample_angles, subsample_angles
+        from pdunet_tpu.ops.radon.parallel import make_parallel_ops
+
+        dense_ops = make_parallel_ops(dense_g)
+        sino_dense = dense_ops.A(images)
+        sino_in = interp_upsample_angles(
+            subsample_angles(sino_dense, gc.sparsity), gc.sparsity
+        )
+        return {"image": images, "sino_dense": sino_dense, "sino_in": sino_in}
+    # pdunet / lpd
+    if jnp.iscomplexobj(images):
+        mag = jnp.abs(images)
+        g = ops.A(images)
+        return {"image": mag, "image_c": images, "sino": g, "f0": ops.fbp(g)}
+    g = ops.A(images)
+    return {"image": images, "sino": g, "f0": ops.fbp(g)}
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,7 +22,7 @@ from pdunet_tpu.configs import ExperimentConfig
 from pdunet_tpu.ops.metrics import psnr, ssim
 from pdunet_tpu.training.tasks import Task, build_task
 
-__all__ = ["train", "TrainResult", "make_train_step"]
+__all__ = ["train", "TrainResult", "make_train_step", "build_state"]
 
 
 class TrainResult(NamedTuple):
@@ -42,6 +42,19 @@ def _make_schedule(tc):
             end_value=tc.learning_rate * 0.01,
         )
     return tc.learning_rate
+
+
+def build_state(task: Task, params=None, init_key=None):
+    """TrainState with the exact optimizer tree used in training — the
+    single source of truth for checkpoint templates (orbax restore needs a
+    structurally identical pytree)."""
+    tc = task.config.train
+    if params is None:
+        params = task.init_params(init_key if init_key is not None else jax.random.PRNGKey(0))
+    tx = optax.adam(_make_schedule(tc))
+    return train_state.TrainState.create(
+        apply_fn=getattr(task.model, "apply", None), params=params, tx=tx
+    )
 
 
 def make_train_step(task: Task, donate: bool = True):
@@ -92,11 +105,7 @@ def train(
     key = jax.random.PRNGKey(tc.seed)
     key, init_key, data_key, val_key = jax.random.split(key, 4)
 
-    params = task.init_params(init_key)
-    tx = optax.adam(_make_schedule(tc))
-    state = train_state.TrainState.create(
-        apply_fn=getattr(task.model, "apply", None), params=params, tx=tx
-    )
+    state = build_state(task, init_key=init_key)
 
     ckpt_mgr = None
     start_step = 0
