@@ -191,9 +191,9 @@ class ParallelPlan:
     """
 
     ARRAY_FIELDS = (
-        "Tc_x", "Ts_x", "Pc_x", "Ps_x",
-        "Tc_y", "Ts_y", "Pc_y", "Ps_y",
-        "Wc", "Ws",
+        "pos_x", "shift_x",
+        "pos_y", "shift_y",
+        "spec", "Wc", "Ws",
     )
 
     def __init__(self, geom, meta, *arrays):
@@ -241,21 +241,40 @@ def _hat(t: np.ndarray, width: float) -> np.ndarray:
     return np.maximum(0.0, 1.0 - np.abs(t) / width)
 
 
-def build_parallel_plan(geom: ParallelGeometry, dtype=jnp.float32) -> ParallelPlan:
-    """Build the static factored-projector tensors for ``geom``.
+def _kb(t: np.ndarray, width: float, beta: float) -> np.ndarray:
+    """Kaiser-Bessel footprint, support |t| ≤ width/2 (t in detector units)."""
+    x = t / (width / 2.0)
+    mask = np.abs(x) <= 1.0
+    return np.where(mask, np.i0(beta * np.sqrt(np.maximum(1.0 - x * x, 0.0))), 0.0)
 
-    Returns a :class:`ParallelPlan` holding, for each angle group
-    (x-primary: |cosθ| ≥ √2/2, y-primary: the rest):
 
-      ``Tc_g``/``Ts_g``: (A_g, N, K) — rFFT (cos/sin parts) of the stage-1
-          splat matrices over the extended detector grid (length L = S_ext,
-          K = L//2+1), mass-normalized and scaled by δ_p²/δ_s.
-      ``Pc_g``/``Ps_g``: (A_g, N, K) — per-(angle, row) spectral shift
-          phases exp(2πi·k·(M − shift)/L) as cos/sin.
+KB_WIDTH = 4.0          # KB support in detector bins (gridding standard, σ=2)
+KB_BETA = math.pi * math.sqrt((KB_WIDTH / 2.0) ** 2 * (2.0 - 0.5) ** 2 - 0.8)
+
+
+def build_parallel_plan(
+    geom: ParallelGeometry, dtype=jnp.float32, footprint: str = "hat"
+) -> ParallelPlan:
+    """Build the compact factored-projector plan for ``geom``.
+
+    The plan is ~1 MB regardless of geometry: the big (A, N, K) spectral
+    tensors are generated *on the fly* inside the ops from outer products of
+    these compact arrays (trig on the VPU is ~free next to the matmuls, and
+    embedding hundreds of MB of constants into HLO both exploded compile
+    times and overflowed the axon remote-compile request limit):
+
+      ``pos_g``: (A_g, N) — stage-1 splat positions on the extended grid,
+          in bins: prim_a·x_i/δ_s + M + c_s.
+      ``shift_g``: (A_g, N) — stage-2 spectral shifts in bins: M − t_aj.
+      ``spec``: (K,) — continuous footprint spectrum (quadrature of the
+          kernel FT at the rFFT frequencies of the length-L = S_ext grid),
+          scaled by δ_p²/δ_s. The stage-1 splat is thus an *exact*
+          continuous-kernel convolution band-limited to the grid.
       ``Wc``/``Ws``: (K, S) — Hermitian-folded inverse-DFT matrix back to
           the S detector bins (c_k/L factors included).
 
-    Forward per group:  ĝ = f ·T̂  (MXU) → phase-multiply + row-reduce →
+    Forward per group: T̂[a,i,k] = spec[k]·e^{−2πik·pos/L} (generated),
+    ĝ = f·T̂ (MXU) → multiply by e^{+2πik·shift/L} + row-reduce →
     p = Re(Ŝ·W) (MXU). The adjoint transposes each factor exactly.
     """
     N = geom.image_size
@@ -268,9 +287,23 @@ def build_parallel_plan(geom: ParallelGeometry, dtype=jnp.float32) -> ParallelPl
     idx_x = np.nonzero(is_x)[0]
     idx_y = np.nonzero(~is_x)[0]
 
+    if footprint == "hat":
+        kernel = lambda t: _hat(t, ds)
+        half_support = 1.0  # in bins
+    elif footprint == "kb":
+        # Kaiser-Bessel footprint: used by the spectral (Fourier-slice) NUFFT
+        # path, where its smooth, rapidly-decaying spectrum makes the
+        # diagonal deapodization accurate to the gridding aliasing floor
+        # (the sampled hat's transfer ripples ±20% near Nyquist).
+        kernel = lambda t: _kb(t, KB_WIDTH * ds, KB_BETA)
+        half_support = KB_WIDTH / 2.0
+    else:
+        raise ValueError(f"unknown footprint {footprint!r}")
+
     half = (N - 1) / 2.0 * dp
-    # Max stage-2 shift in detector bins: secondary direction cosine ≤ √2/2.
-    M = int(math.ceil(half * (math.sqrt(0.5)) / ds)) + 1
+    # Max stage-2 shift in detector bins (secondary direction cosine ≤ √2/2)
+    # plus the footprint half-support.
+    M = int(math.ceil(half * (math.sqrt(0.5)) / ds + half_support)) + 1
     D = 2 * M + 1
     S_ext = S + 2 * M
 
@@ -281,26 +314,31 @@ def build_parallel_plan(geom: ParallelGeometry, dtype=jnp.float32) -> ParallelPl
     K = L // 2 + 1
     k_grid = np.arange(K)
 
-    def group_tensors(idx, primary_cos):
+    c_s = (S - 1) / 2.0
+
+    def group_arrays(idx, primary_cos):
         """primary_cos=True → primary coefficient is cosθ (x-primary group)."""
         if idx.size == 0:
-            z = np.zeros((0, N, K), np.float64)
-            return z, z, z, z
+            z = np.zeros((0, N), np.float64)
+            return z, z
         prim = cos[idx] if primary_cos else sin[idx]
         seco = sin[idx] if primary_cos else cos[idx]
-        # spatial splat T[a, i, u] = hat(s_u - prim_a * x_i) * δ_p²/δ_s,
-        # stored in the DFT domain (rFFT over the extended detector axis)
-        pos = prim[:, None] * centers[None, :]               # (A_g, N)
-        T = _hat(s_ext[None, None, :] - pos[:, :, None], ds) * (dp * dp / ds)
-        That = np.fft.rfft(T, axis=-1)
-        # spectral shift: row j at angle a reads ext position s + M − t,
-        # t = seco_a·y_j/δ_s ⇒ phase exp(+2πi·k·(M − t)/L)
-        t = seco[:, None] * centers[None, :] / ds            # (A_g, N)
-        ang = 2.0 * math.pi * k_grid[None, None, :] * (M - t)[:, :, None] / L
-        return That.real, That.imag, np.cos(ang), np.sin(ang)
+        # splat position of pixel line i at angle a, in extended-grid bins
+        pos = prim[:, None] * centers[None, :] / ds + M + c_s   # (A_g, N)
+        # stage-2 shift (bins): row j reads ext position s + (M − t)
+        t = seco[:, None] * centers[None, :] / ds               # (A_g, N)
+        return pos, M - t
 
-    Tc_x, Ts_x, Pc_x, Ps_x = group_tensors(idx_x, primary_cos=True)
-    Tc_y, Ts_y, Pc_y, Ps_y = group_tensors(idx_y, primary_cos=False)
+    pos_x, shift_x = group_arrays(idx_x, primary_cos=True)
+    pos_y, shift_y = group_arrays(idx_y, primary_cos=False)
+
+    # continuous footprint spectrum at the rFFT frequencies ω_k = 2πk/(L·δs):
+    # spec[k] = (δp²/δs)·(1/δs)·∫kernel(t)·cos(ω_k t) dt
+    tq = np.linspace(-half_support * ds, half_support * ds, 4096)
+    kq = kernel(tq)
+    omega = 2.0 * math.pi * k_grid / (L * ds)
+    spec = (np.cos(np.outer(omega, tq)) @ kq) * (tq[1] - tq[0])
+    spec = spec * (dp * dp / (ds * ds))
 
     # Hermitian-folded inverse DFT back to the S detector bins:
     # p[s] = Σ_k c_k/L · Re(Ŝ[k]·e^{+2πiks/L}), c_0 = c_{L/2} = 1 else 2
@@ -325,17 +363,20 @@ def build_parallel_plan(geom: ParallelGeometry, dtype=jnp.float32) -> ParallelPl
         idx_x=tuple(int(i) for i in idx_x),
         idx_y=tuple(int(i) for i in idx_y),
     )
-    return ParallelPlan(
+    # dtype conversion happens host-side: an eager on-device
+    # convert_element_type is a separate (remote, seconds-long) compile per
+    # array shape on the axon TPU. materialize() routes each array through a
+    # trivial device op — the axon backend cannot read back (or embed as HLO
+    # constants) directly-transferred buffers.
+    def dev(a):
+        return jnp.asarray(np.asarray(a, np.dtype(dtype)))
+
+    from pdunet_tpu.utils.device import materialize
+
+    return materialize(ParallelPlan(
         geom,
         meta,
-        jnp.asarray(Tc_x, dtype),
-        jnp.asarray(Ts_x, dtype),
-        jnp.asarray(Pc_x, dtype),
-        jnp.asarray(Ps_x, dtype),
-        jnp.asarray(Tc_y, dtype),
-        jnp.asarray(Ts_y, dtype),
-        jnp.asarray(Pc_y, dtype),
-        jnp.asarray(Ps_y, dtype),
-        jnp.asarray(Wc, dtype),
-        jnp.asarray(Ws, dtype),
-    )
+        dev(pos_x), dev(shift_x),
+        dev(pos_y), dev(shift_y),
+        dev(spec), dev(Wc), dev(Ws),
+    ))

@@ -146,15 +146,17 @@ def build_nufft_plan(
     apod_x = _kb_apodization(N, G, J, beta)
     apod2d = np.outer(apod_x, apod_x).astype(np.float32)
 
+    from pdunet_tpu.utils.device import materialize
+
     meta = dict(N=N, G=G, J=J, n_spokes=n_sp, n_samples=n_ro)
-    return NufftPlan(
+    return materialize(NufftPlan(
         geom,
         meta,
         jnp.asarray(idx.ravel()),
-        jnp.asarray(w),
-        jnp.asarray(apod2d),
+        jnp.asarray(np.asarray(w, np.float32)),
+        jnp.asarray(np.asarray(apod2d, np.float32)),
         jnp.asarray(radial_dcf(geom)),
-    )
+    ))
 
 
 def _pad_center(f: jnp.ndarray, N: int, G: int) -> jnp.ndarray:
@@ -217,7 +219,70 @@ class NufftOps(NamedTuple):
     dcf: jnp.ndarray
 
 
-def make_radial_ops(geom: RadialGeometry, oversamp: float = 2.0, J: int = 4) -> NufftOps:
+def make_radial_ops(
+    geom: RadialGeometry,
+    oversamp: float = 2.0,
+    J: int = 4,
+    impl: str = "fourier_slice",
+) -> NufftOps:
+    """Differentiable radial NUFFT bundle.
+
+    impl="fourier_slice" (default): projection-slice matmul pipeline — the
+    TPU production path (see ops/nufft/fourier_slice.py).
+    impl="gridding": Kaiser-Bessel gather/scatter — the numerical oracle
+    (and the general-trajectory fallback).
+    """
+    if impl == "fourier_slice":
+        from pdunet_tpu.ops.nufft.fourier_slice import (
+            build_fs_plan,
+            fs_nufft_adjoint,
+            fs_nufft_forward,
+        )
+
+        fs_plan = build_fs_plan(geom)
+
+        @jax.custom_vjp
+        def A(f):
+            return fs_nufft_forward(fs_plan, f)
+
+        def A_fwd(f):
+            return A(f), None
+
+        def A_bwd(_, g):
+            return (jnp.conj(fs_nufft_adjoint(fs_plan, jnp.conj(g))),)
+
+        A.defvjp(A_fwd, A_bwd)
+
+        @jax.custom_vjp
+        def At(k):
+            return fs_nufft_adjoint(fs_plan, k)
+
+        def At_fwd(k):
+            return At(k), None
+
+        def At_bwd(_, g):
+            return (jnp.conj(fs_nufft_forward(fs_plan, jnp.conj(g))),)
+
+        At.defvjp(At_fwd, At_bwd)
+
+        dcf = jnp.asarray(radial_dcf(geom))
+
+        def fbp(kdata, filter_name=None):
+            del filter_name
+            return At(kdata * dcf) / (2.0 * math.pi) ** 2
+
+        return NufftOps(
+            A=A,
+            At=At,
+            fbp=fbp,
+            geom=geom,
+            image_shape=(geom.image_size, geom.image_size),
+            sino_shape=(geom.n_spokes, geom.samples_per_spoke),
+            dcf=dcf,
+        )
+
+    if impl != "gridding":
+        raise ValueError(f"unknown NUFFT impl {impl!r}")
     plan = build_nufft_plan(geom, oversamp, J)
 
     # Complex custom_vjp: JAX's cotangent convention for C-linear maps is

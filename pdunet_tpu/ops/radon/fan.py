@@ -156,18 +156,24 @@ def build_fan_plan(geom: FanGeometry, dtype=jnp.float32) -> FanPlan:
         pad_beta=int(2 * margin + 2),
         pad_ext=int(2 * margin + int(math.ceil(gamma_max / dbeta)) + 2),
     )
-    return FanPlan(
+    def dev(a, dt=dtype):
+        # host-side dtype conversion (see geometry.build_parallel_plan)
+        return jnp.asarray(np.asarray(a, np.dtype(dt)))
+
+    from pdunet_tpu.utils.device import materialize
+
+    return materialize(FanPlan(
         geom,
         meta,
         build_parallel_plan(par_geom, dtype),
-        jnp.asarray(Ms, dtype),
-        jnp.asarray(Mu, dtype),
+        dev(Ms),
+        dev(Mu),
         jnp.asarray(c0),
-        jnp.asarray(cf, dtype),
+        dev(cf),
         jnp.asarray(d0),
-        jnp.asarray(df, dtype),
-        jnp.asarray(wrow, dtype),
-    )
+        dev(df),
+        dev(wrow),
+    ))
 
 
 def _gather_rows(x: jnp.ndarray, base: jnp.ndarray, frac: jnp.ndarray,

@@ -58,7 +58,22 @@ def _ein(sub, *ops):
     return jnp.einsum(sub, *ops, preferred_element_type=jnp.float32)
 
 
-def _project_group(f, Tc, Ts, Pc, Ps, Wc, Ws, contract_x: bool):
+def _spectral_tensors(pos, shift, spec, L):
+    """Generate the (A_g, N, K) spectral tensors on the fly (VPU trig over
+    outer products of compact plan arrays — see geometry.build_parallel_plan).
+
+    T̂ = spec·e^{−2πik·pos/L} (splat), φ = e^{+2πik·shift/L} (shear phase).
+    """
+    K = spec.shape[0]
+    k = jnp.arange(K, dtype=pos.dtype) * (2.0 * jnp.pi / L)
+    ang_t = pos[:, :, None] * k[None, None, :]
+    Tc = spec * jnp.cos(ang_t)
+    Ts = -spec * jnp.sin(ang_t)
+    ang_p = shift[:, :, None] * k[None, None, :]
+    return Tc, Ts, jnp.cos(ang_p), jnp.sin(ang_p)
+
+
+def _project_group(f, pos, shift, spec, Wc, Ws, L, contract_x: bool):
     """One angle group of the DFT-domain pipeline: f (B,N,N) → p (B,A_g,S).
 
     ĝ = f·T̂ (stage-1 splat, directly in frequency space; MXU matmul) →
@@ -68,6 +83,7 @@ def _project_group(f, Tc, Ts, Pc, Ps, Wc, Ws, contract_x: bool):
     ``contract_x``: True contracts the image x-axis (x-primary group, rows
     indexed by j); False contracts the y-axis (rows indexed by i).
     """
+    Tc, Ts, Pc, Ps = _spectral_tensors(pos, shift, spec, L)
     sub1 = "bji,aik->bajk" if contract_x else "bji,ajk->baik"
     gr = _ein(sub1, f, Tc)
     gi = _ein(sub1, f, Ts)
@@ -77,8 +93,9 @@ def _project_group(f, Tc, Ts, Pc, Ps, Wc, Ws, contract_x: bool):
     return _ein("bak,ks->bas", s_re, Wc) - _ein("bak,ks->bas", s_im, Ws)
 
 
-def _backproject_group(p, Tc, Ts, Pc, Ps, Wc, Ws, contract_x: bool):
+def _backproject_group(p, pos, shift, spec, Wc, Ws, L, contract_x: bool):
     """Exact transpose of :func:`_project_group`: p (B,A_g,S) → f̃ (B,N,N)."""
+    Tc, Ts, Pc, Ps = _spectral_tensors(pos, shift, spec, L)
     s_re = _ein("bas,ks->bak", p, Wc)
     s_im = -_ein("bas,ks->bak", p, Ws)
     sub2t = "bak,ajk->bajk" if contract_x else "bak,aik->baik"
@@ -91,16 +108,17 @@ def _backproject_group(p, Tc, Ts, Pc, Ps, Wc, Ws, contract_x: bool):
 def parallel_project(plan: ParallelPlan, image: jnp.ndarray) -> jnp.ndarray:
     """Factored parallel-beam forward projection. image (..., N, N) → (..., A, S)."""
     meta = plan.meta
+    L = meta["S_ext"]
     f, restore = _collapse_batch(image, 2)
     dt = plan.Wc.dtype
     f = f.astype(dt)
     parts = []
     if meta["A_x"]:
         parts.append(_project_group(
-            f, plan.Tc_x, plan.Ts_x, plan.Pc_x, plan.Ps_x, plan.Wc, plan.Ws, True))
+            f, plan.pos_x, plan.shift_x, plan.spec, plan.Wc, plan.Ws, L, True))
     if meta["A_y"]:
         parts.append(_project_group(
-            f, plan.Tc_y, plan.Ts_y, plan.Pc_y, plan.Ps_y, plan.Wc, plan.Ws, False))
+            f, plan.pos_y, plan.shift_y, plan.spec, plan.Wc, plan.Ws, L, False))
     p = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     p = jnp.take(p, jnp.asarray(meta["inv_perm"]), axis=1)
     return restore(p.astype(image.dtype))
@@ -109,7 +127,7 @@ def parallel_project(plan: ParallelPlan, image: jnp.ndarray) -> jnp.ndarray:
 def parallel_backproject(plan: ParallelPlan, sino: jnp.ndarray) -> jnp.ndarray:
     """Exact transpose of :func:`parallel_project`. sino (..., A, S) → (..., N, N)."""
     meta = plan.meta
-    N = meta["N"]
+    N, L = meta["N"], meta["S_ext"]
     p, restore = _collapse_batch(sino, 2)
     dt = plan.Wc.dtype
     p = p.astype(dt)
@@ -117,11 +135,11 @@ def parallel_backproject(plan: ParallelPlan, sino: jnp.ndarray) -> jnp.ndarray:
     if meta["A_x"]:
         px = jnp.take(p, jnp.asarray(meta["idx_x"]), axis=1)
         f = f + _backproject_group(
-            px, plan.Tc_x, plan.Ts_x, plan.Pc_x, plan.Ps_x, plan.Wc, plan.Ws, True)
+            px, plan.pos_x, plan.shift_x, plan.spec, plan.Wc, plan.Ws, L, True)
     if meta["A_y"]:
         py = jnp.take(p, jnp.asarray(meta["idx_y"]), axis=1)
         f = f + _backproject_group(
-            py, plan.Tc_y, plan.Ts_y, plan.Pc_y, plan.Ps_y, plan.Wc, plan.Ws, False)
+            py, plan.pos_y, plan.shift_y, plan.spec, plan.Wc, plan.Ws, L, False)
     return restore(f.astype(sino.dtype))
 
 

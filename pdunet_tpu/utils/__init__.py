@@ -1,5 +1,6 @@
 """Shared utilities: compilation cache, profiling hooks, debug flags."""
 
 from pdunet_tpu.utils.cache import enable_compilation_cache
+from pdunet_tpu.utils.device import materialize
 
-__all__ = ["enable_compilation_cache"]
+__all__ = ["enable_compilation_cache", "materialize"]
