@@ -1,0 +1,158 @@
+"""Pallas TPU kernels: fused factored projector (SURVEY.md §2c).
+
+The einsum pipeline (ops/radon/parallel.py) materializes the (B, A, N, K)
+spectral intermediates in HBM (~1.3 GB round-trip per call at 256²/90
+angles/batch 16). These kernels fuse the whole per-angle chain —
+
+    generate T̂, φ (VPU trig) → f·T̂ (MXU) → φ-multiply + row-reduce (VPU)
+    → Ŝ·W (MXU)
+
+— inside VMEM: the image block stays resident across the (innermost,
+sequential) angle axis, per-angle tensors live and die on-chip, and HBM
+sees only the image once plus the sinogram block. The adjoint kernel is the
+exact transpose, accumulating the image across the angle axis.
+
+TPU block-shape rules (last two dims divisible by (8, 128) or equal to the
+array dims) force small per-angle operands to be kept fully VMEM-resident
+and row-indexed dynamically with the angle program id.
+
+Every kernel has the einsum path as its jnp twin (SURVEY.md §4.2 tier 4):
+tests assert allclose in interpreter mode, and CPU runs use the twin.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["project_group_pallas", "backproject_group_pallas"]
+
+
+def _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L):
+    """Generate this angle's T̂ (cos/sin) and shear phase (cos/sin) in VMEM."""
+    # Mosaic requires integer iota; convert after.
+    k = (2.0 * math.pi / L) * lax.broadcasted_iota(jnp.int32, (N, K), 1).astype(jnp.float32)
+    pos = pos_ref[pl.ds(a, 1), :].reshape(N, 1)
+    ang_t = pos * k
+    spec = spec_ref[0, :][None, :]
+    tc = spec * jnp.cos(ang_t)            # (N, K)
+    ts = -spec * jnp.sin(ang_t)
+    shift = shift_ref[pl.ds(a, 1), :].reshape(N, 1)
+    ang_p = shift * k
+    return tc, ts, jnp.cos(ang_p), jnp.sin(ang_p)
+
+
+def _fwd_kernel(pos_ref, shift_ref, spec_ref, wc_ref, ws_ref, f_ref, out_ref,
+                *, L: int, contract_x: bool):
+    B, N, _ = f_ref.shape
+    K, S = wc_ref.shape
+    a = pl.program_id(1)
+    tc, ts, pc, ps = _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L)
+    f = f_ref[...]
+    # contract the image x-axis (dim 2) or y-axis (dim 1) against T̂
+    cdim = 2 if contract_x else 1
+    dn = (((cdim,), (0,)), ((), ()))
+    gr = lax.dot_general(f, tc, dn, preferred_element_type=jnp.float32)
+    gi = lax.dot_general(f, ts, dn, preferred_element_type=jnp.float32)
+    # gr/gi: (B, rows, K) where rows = the non-contracted image axis
+    s_re = (gr * pc[None] - gi * ps[None]).sum(axis=1)   # (B, K)
+    s_im = (gr * ps[None] + gi * pc[None]).sum(axis=1)
+    out = (
+        jnp.dot(s_re, wc_ref[...], preferred_element_type=jnp.float32)
+        - jnp.dot(s_im, ws_ref[...], preferred_element_type=jnp.float32)
+    )
+    out_ref[:, pl.ds(a, 1), :] = out[:, None, :]
+
+
+def _adj_kernel(pos_ref, shift_ref, spec_ref, wc_ref, ws_ref, p_ref, out_ref,
+                *, L: int, contract_x: bool):
+    B = p_ref.shape[0]
+    K, S = wc_ref.shape
+    N = out_ref.shape[1]
+    a = pl.program_id(1)
+    tc, ts, pc, ps = _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L)
+
+    p = p_ref[:, pl.ds(a, 1), :].reshape(B, S)
+    s_re = jnp.dot(p, wc_ref[...].T, preferred_element_type=jnp.float32)
+    s_im = -jnp.dot(p, ws_ref[...].T, preferred_element_type=jnp.float32)
+    h_re = s_re[:, None, :] * pc[None] + s_im[:, None, :] * ps[None]   # (B, N, K)
+    h_im = -s_re[:, None, :] * ps[None] + s_im[:, None, :] * pc[None]
+    # f̃[b, row, other] += Σ_k h[b, row, k]·T̂[other, k] — contract K.
+    # (For the y-group "row" is the x-axis; the caller transposes once at
+    # the end — an in-kernel per-angle transpose measured 2× slower.)
+    dn = (((2,), (1,)), ((), ()))
+    contrib = lax.dot_general(h_re, tc, dn, preferred_element_type=jnp.float32)
+    contrib = contrib + lax.dot_general(h_im, ts, dn, preferred_element_type=jnp.float32)
+
+    @pl.when(a == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += contrib
+
+
+def _batch_block(B: int) -> int:
+    for cand in (8, 4, 2, 1):
+        if B % cand == 0:
+            return cand
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("L", "contract_x", "interpret"))
+def project_group_pallas(f, pos, shift, spec, Wc, Ws, L, contract_x,
+                         interpret=False):
+    """Fused forward for one angle group: f (B,N,N) → (B, A_g, S)."""
+    B, N, _ = f.shape
+    A_g = pos.shape[0]
+    K, S = Wc.shape
+    bb = _batch_block(B)
+    kern = functools.partial(_fwd_kernel, L=L, contract_x=contract_x)
+    full2 = lambda arr: pl.BlockSpec(arr.shape, lambda b, a: (0,) * arr.ndim,
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, A_g, S), jnp.float32),
+        grid=(B // bb, A_g),
+        in_specs=[
+            full2(pos), full2(shift), full2(spec[None, :]),
+            full2(Wc), full2(Ws),
+            pl.BlockSpec((bb, N, N), lambda b, a: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, A_g, S), lambda b, a: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(pos, shift, spec[None, :], Wc, Ws, f)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "contract_x", "N", "interpret"))
+def backproject_group_pallas(p, pos, shift, spec, Wc, Ws, L, contract_x, N,
+                             interpret=False):
+    """Fused adjoint for one angle group: p (B, A_g, S) → (B, N, N)."""
+    B, A_g, S = p.shape
+    K = Wc.shape[0]
+    bb = _batch_block(B)
+    kern = functools.partial(_adj_kernel, L=L, contract_x=contract_x)
+    full2 = lambda arr: pl.BlockSpec(arr.shape, lambda b, a: (0,) * arr.ndim,
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+        grid=(B // bb, A_g),
+        in_specs=[
+            full2(pos), full2(shift), full2(spec[None, :]),
+            full2(Wc), full2(Ws),
+            pl.BlockSpec((bb, A_g, S), lambda b, a: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, N, N), lambda b, a: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(pos, shift, spec[None, :], Wc, Ws, p)
+    return out if contract_x else out.transpose(0, 2, 1)

@@ -105,40 +105,72 @@ def _backproject_group(p, pos, shift, spec, Wc, Ws, L, contract_x: bool):
     return _ein(sub1t, h_re, Tc) + _ein(sub1t, h_im, Ts)
 
 
-def parallel_project(plan: ParallelPlan, image: jnp.ndarray) -> jnp.ndarray:
+# 'auto' uses the fused Pallas kernels on TPU and the einsum pipeline (the
+# jnp twin, SURVEY.md §4.2 tier 4) elsewhere. Overridable per call or
+# globally (set_default_impl) for A/B benchmarking.
+_DEFAULT_IMPL = "auto"
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    if impl not in ("auto", "einsum", "pallas"):
+        raise ValueError(f"impl must be auto|einsum|pallas, got {impl!r}")
+    _DEFAULT_IMPL = impl
+
+
+def _resolve_impl(impl):
+    impl = impl or _DEFAULT_IMPL
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "einsum"
+    return impl
+
+
+def parallel_project(plan: ParallelPlan, image: jnp.ndarray, impl: str = None) -> jnp.ndarray:
     """Factored parallel-beam forward projection. image (..., N, N) → (..., A, S)."""
     meta = plan.meta
     L = meta["S_ext"]
     f, restore = _collapse_batch(image, 2)
     dt = plan.Wc.dtype
     f = f.astype(dt)
+    if _resolve_impl(impl) == "pallas":
+        from pdunet_tpu.ops.radon.pallas_kernels import project_group_pallas
+
+        group = lambda *a: project_group_pallas(f, *a)
+    else:
+        group = lambda *a: _project_group(f, *a)
     parts = []
     if meta["A_x"]:
-        parts.append(_project_group(
-            f, plan.pos_x, plan.shift_x, plan.spec, plan.Wc, plan.Ws, L, True))
+        parts.append(group(
+            plan.pos_x, plan.shift_x, plan.spec, plan.Wc, plan.Ws, L, True))
     if meta["A_y"]:
-        parts.append(_project_group(
-            f, plan.pos_y, plan.shift_y, plan.spec, plan.Wc, plan.Ws, L, False))
+        parts.append(group(
+            plan.pos_y, plan.shift_y, plan.spec, plan.Wc, plan.Ws, L, False))
     p = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     p = jnp.take(p, jnp.asarray(meta["inv_perm"]), axis=1)
     return restore(p.astype(image.dtype))
 
 
-def parallel_backproject(plan: ParallelPlan, sino: jnp.ndarray) -> jnp.ndarray:
+def parallel_backproject(plan: ParallelPlan, sino: jnp.ndarray, impl: str = None) -> jnp.ndarray:
     """Exact transpose of :func:`parallel_project`. sino (..., A, S) → (..., N, N)."""
     meta = plan.meta
     N, L = meta["N"], meta["S_ext"]
     p, restore = _collapse_batch(sino, 2)
     dt = plan.Wc.dtype
     p = p.astype(dt)
+    if _resolve_impl(impl) == "pallas":
+        from pdunet_tpu.ops.radon.pallas_kernels import backproject_group_pallas
+
+        group = lambda pp, *a: backproject_group_pallas(pp, *a, N)
+    else:
+        group = lambda pp, *a: _backproject_group(pp, *a)
     f = jnp.zeros((p.shape[0], N, N), jnp.float32)
     if meta["A_x"]:
         px = jnp.take(p, jnp.asarray(meta["idx_x"]), axis=1)
-        f = f + _backproject_group(
+        f = f + group(
             px, plan.pos_x, plan.shift_x, plan.spec, plan.Wc, plan.Ws, L, True)
     if meta["A_y"]:
         py = jnp.take(p, jnp.asarray(meta["idx_y"]), axis=1)
-        f = f + _backproject_group(
+        f = f + group(
             py, plan.pos_y, plan.shift_y, plan.spec, plan.Wc, plan.Ws, L, False)
     return restore(f.astype(sino.dtype))
 

@@ -92,11 +92,16 @@ def train(
     fixed_data: bool = False,
     metrics_path: Optional[str] = None,
     verbose: bool = True,
+    n_devices: Optional[int] = None,
+    profile_dir: Optional[str] = None,
 ) -> TrainResult:
     """Train one experiment preset end-to-end.
 
     ``fixed_data=True`` reuses a single synthesized batch every step (the
     overfit smoke-test mode of SURVEY.md §4.2 tier 5).
+    ``n_devices``: >1 shards the batch over a data-parallel mesh (XLA psum
+    over ICI; SURVEY.md §2d). ``profile_dir``: capture a jax.profiler trace
+    of steps 10-15 (SURVEY.md §5.1).
     """
     tc = config.train
     n_steps = tc.steps if steps is None else steps
@@ -106,6 +111,17 @@ def train(
     key, init_key, data_key, val_key = jax.random.split(key, 4)
 
     state = build_state(task, init_key=init_key)
+
+    mesh = None
+    if n_devices is not None and n_devices > 1:
+        from pdunet_tpu.parallel import make_mesh, replicate
+
+        if tc.batch_size % n_devices:
+            raise ValueError(
+                f"batch_size {tc.batch_size} not divisible by {n_devices} devices"
+            )
+        mesh = make_mesh(n_devices)
+        state = replicate(state, mesh)
 
     ckpt_mgr = None
     start_step = 0
@@ -123,14 +139,28 @@ def train(
             if verbose:
                 print(f"[train] resumed from step {start_step}")
 
-    step_fn = make_train_step(task)
+    if mesh is not None:
+        from pdunet_tpu.parallel import make_sharded_train_step
+
+        step_fn = make_sharded_train_step(task, mesh)
+    else:
+        step_fn = make_train_step(task)
     eval_fn = make_eval_step(task)
     val_batch = task.make_batch(val_key)
 
     history = []
     mfile = open(metrics_path, "a") if metrics_path else None
     t0 = time.perf_counter()
+    profiling = False
+    best_psnr = float("-inf")
+    best_step = -1
     for i in range(start_step, n_steps):
+        if profile_dir and i == start_step + 10:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+        if profiling and i == start_step + 15:
+            jax.profiler.stop_trace()
+            profiling = False
         if fixed_data:
             step_key = jax.random.fold_in(data_key, 0)
         else:
@@ -153,9 +183,21 @@ def train(
             if mfile:
                 mfile.write(json.dumps({"step": i + 1, **ev}) + "\n")
                 mfile.flush()
+            # best-val tracking (reference: Lightning checkpoint-on-best)
+            if ev["psnr"] > best_psnr:
+                best_psnr = ev["psnr"]
+                best_step = i + 1
+                if tc.ckpt_dir:
+                    import pathlib
+
+                    pathlib.Path(tc.ckpt_dir, "best.json").write_text(
+                        json.dumps({"step": best_step, "psnr": best_psnr})
+                    )
         if ckpt_mgr is not None:
             ckpt_mgr.save(i + 1, state)
 
+    if profiling:
+        jax.profiler.stop_trace()
     eval_batch = val_batch if not fixed_data else task.make_batch(
         jax.random.fold_in(data_key, 0)
     )

@@ -31,6 +31,12 @@ def parse_args(argv=None):
     p.add_argument("--metrics", default=None, help="JSONL metrics output path")
     p.add_argument("--platform", default=None,
                    help="force JAX platform (cpu for local dev; default: env)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel device count (mesh over the first N devices)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of steps 10-15 here")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN; slow)")
     p.add_argument("--dump-config", action="store_true",
                    help="print the resolved config JSON and exit")
     return p.parse_args(argv)
@@ -75,6 +81,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     config = resolve_config(args)
     if args.dump_config:
         print(config.to_json())
@@ -83,7 +93,8 @@ def main(argv=None):
     from pdunet_tpu.training.loop import train
 
     result = train(
-        config, steps=args.steps, metrics_path=args.metrics, verbose=True
+        config, steps=args.steps, metrics_path=args.metrics, verbose=True,
+        n_devices=args.devices, profile_dir=args.profile_dir,
     )
     print(f"[done] final eval: {result.final_eval}")
     return 0
