@@ -88,6 +88,7 @@ def write_phantom_dataset(
     """Write a reproducible random-ellipse HDF5 dataset."""
     import h5py
 
+    from pdunet_tpu.data import native
     from pdunet_tpu.data.phantoms import random_ellipses, rasterize_ellipses
 
     rng = np.random.default_rng(seed)
@@ -102,7 +103,8 @@ def write_phantom_dataset(
             else None
         )
         for i in range(n_slices):
-            ds[i] = rasterize_ellipses(
+            # native multithreaded rasterizer when built; NumPy fallback
+            ds[i] = native.rasterize_ellipses(
                 random_ellipses(rng, n_ellipses, radius), image_size
             )
             if ph is not None:
