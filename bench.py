@@ -37,7 +37,7 @@ def timeit(fn, *args, warmup=3, iters=10):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=32)
     p.add_argument("--n-iters", type=int, default=4)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--platform", default=None)

@@ -362,14 +362,19 @@ def build_parallel_plan(
         inv_perm=tuple(int(i) for i in inv_perm),
         idx_x=tuple(int(i) for i in idx_x),
         idx_y=tuple(int(i) for i in idx_y),
+        # matmul operand dtype; positions/phases always stay f32 (trig
+        # arguments span hundreds of radians — bf16 would destroy them)
+        compute_dtype=np.dtype(dtype).name if dtype != jnp.float32 else "float32",
     )
     # dtype conversion happens host-side: an eager on-device
     # convert_element_type is a separate (remote, seconds-long) compile per
     # array shape on the axon TPU. materialize() routes each array through a
     # trivial device op — the axon backend cannot read back (or embed as HLO
-    # constants) directly-transferred buffers.
+    # constants) directly-transferred buffers. Arrays stay f32 (see
+    # compute_dtype above); reduced precision applies to matmul operands
+    # generated in-op.
     def dev(a):
-        return jnp.asarray(np.asarray(a, np.dtype(dtype)))
+        return jnp.asarray(np.asarray(a, np.float32))
 
     from pdunet_tpu.utils.device import materialize
 

@@ -224,6 +224,7 @@ def make_radial_ops(
     oversamp: float = 2.0,
     J: int = 4,
     impl: str = "fourier_slice",
+    dtype=None,
 ) -> NufftOps:
     """Differentiable radial NUFFT bundle.
 
@@ -239,7 +240,9 @@ def make_radial_ops(
             fs_nufft_forward,
         )
 
-        fs_plan = build_fs_plan(geom)
+        import jax.numpy as _jnp
+
+        fs_plan = build_fs_plan(geom, dtype=dtype or _jnp.float32)
 
         @jax.custom_vjp
         def A(f):

@@ -34,55 +34,62 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["project_group_pallas", "backproject_group_pallas"]
 
 
-def _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L):
-    """Generate this angle's T̂ (cos/sin) and shear phase (cos/sin) in VMEM."""
+def _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L, cdt):
+    """Generate this angle's T̂ (cos/sin) and shear phase (cos/sin) in VMEM.
+
+    Trig runs in f32 (large arguments); results cast to ``cdt`` so the
+    matmuls run in one MXU pass under bf16."""
     # Mosaic requires integer iota; convert after.
     k = (2.0 * math.pi / L) * lax.broadcasted_iota(jnp.int32, (N, K), 1).astype(jnp.float32)
     pos = pos_ref[pl.ds(a, 1), :].reshape(N, 1)
     ang_t = pos * k
     spec = spec_ref[0, :][None, :]
-    tc = spec * jnp.cos(ang_t)            # (N, K)
-    ts = -spec * jnp.sin(ang_t)
+    tc = (spec * jnp.cos(ang_t)).astype(cdt)            # (N, K)
+    ts = (-spec * jnp.sin(ang_t)).astype(cdt)
     shift = shift_ref[pl.ds(a, 1), :].reshape(N, 1)
     ang_p = shift * k
-    return tc, ts, jnp.cos(ang_p), jnp.sin(ang_p)
+    return tc, ts, jnp.cos(ang_p).astype(cdt), jnp.sin(ang_p).astype(cdt)
 
 
 def _fwd_kernel(pos_ref, shift_ref, spec_ref, wc_ref, ws_ref, f_ref, out_ref,
-                *, L: int, contract_x: bool):
+                *, L: int, contract_x: bool, cdt):
     B, N, _ = f_ref.shape
     K, S = wc_ref.shape
     a = pl.program_id(1)
-    tc, ts, pc, ps = _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L)
-    f = f_ref[...]
+    tc, ts, pc, ps = _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L, cdt)
+    f = f_ref[...].astype(cdt)
     # contract the image x-axis (dim 2) or y-axis (dim 1) against T̂
     cdim = 2 if contract_x else 1
     dn = (((cdim,), (0,)), ((), ()))
     gr = lax.dot_general(f, tc, dn, preferred_element_type=jnp.float32)
     gi = lax.dot_general(f, ts, dn, preferred_element_type=jnp.float32)
     # gr/gi: (B, rows, K) where rows = the non-contracted image axis
-    s_re = (gr * pc[None] - gi * ps[None]).sum(axis=1)   # (B, K)
-    s_im = (gr * ps[None] + gi * pc[None]).sum(axis=1)
+    pcf = pc[None].astype(jnp.float32)
+    psf = ps[None].astype(jnp.float32)
+    s_re = (gr * pcf - gi * psf).sum(axis=1).astype(cdt)   # (B, K)
+    s_im = (gr * psf + gi * pcf).sum(axis=1).astype(cdt)
     out = (
-        jnp.dot(s_re, wc_ref[...], preferred_element_type=jnp.float32)
-        - jnp.dot(s_im, ws_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(s_re, wc_ref[...].astype(cdt), preferred_element_type=jnp.float32)
+        - jnp.dot(s_im, ws_ref[...].astype(cdt), preferred_element_type=jnp.float32)
     )
     out_ref[:, pl.ds(a, 1), :] = out[:, None, :]
 
 
 def _adj_kernel(pos_ref, shift_ref, spec_ref, wc_ref, ws_ref, p_ref, out_ref,
-                *, L: int, contract_x: bool):
+                *, L: int, contract_x: bool, cdt):
     B = p_ref.shape[0]
     K, S = wc_ref.shape
     N = out_ref.shape[1]
     a = pl.program_id(1)
-    tc, ts, pc, ps = _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L)
+    tc, ts, pc, ps = _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L, cdt)
 
-    p = p_ref[:, pl.ds(a, 1), :].reshape(B, S)
-    s_re = jnp.dot(p, wc_ref[...].T, preferred_element_type=jnp.float32)
-    s_im = -jnp.dot(p, ws_ref[...].T, preferred_element_type=jnp.float32)
-    h_re = s_re[:, None, :] * pc[None] + s_im[:, None, :] * ps[None]   # (B, N, K)
-    h_im = -s_re[:, None, :] * ps[None] + s_im[:, None, :] * pc[None]
+    p = p_ref[:, pl.ds(a, 1), :].reshape(B, S).astype(cdt)
+    s_re = jnp.dot(p, wc_ref[...].T.astype(cdt), preferred_element_type=jnp.float32)
+    s_im = -jnp.dot(p, ws_ref[...].T.astype(cdt), preferred_element_type=jnp.float32)
+    pcf = pc[None].astype(jnp.float32)
+    psf = ps[None].astype(jnp.float32)
+    h_re = (s_re[:, None, :] * pcf + s_im[:, None, :] * psf).astype(cdt)   # (B, N, K)
+    h_im = (-s_re[:, None, :] * psf + s_im[:, None, :] * pcf).astype(cdt)
     # f̃[b, row, other] += Σ_k h[b, row, k]·T̂[other, k] — contract K.
     # (For the y-group "row" is the x-axis; the caller transposes once at
     # the end — an in-kernel per-angle transpose measured 2× slower.)
@@ -104,15 +111,16 @@ def _batch_block(B: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("L", "contract_x", "interpret"))
+@functools.partial(jax.jit, static_argnames=("L", "contract_x", "interpret", "bf16"))
 def project_group_pallas(f, pos, shift, spec, Wc, Ws, L, contract_x,
-                         interpret=False):
+                         interpret=False, bf16=False):
     """Fused forward for one angle group: f (B,N,N) → (B, A_g, S)."""
     B, N, _ = f.shape
     A_g = pos.shape[0]
     K, S = Wc.shape
     bb = _batch_block(B)
-    kern = functools.partial(_fwd_kernel, L=L, contract_x=contract_x)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    kern = functools.partial(_fwd_kernel, L=L, contract_x=contract_x, cdt=cdt)
     full2 = lambda arr: pl.BlockSpec(arr.shape, lambda b, a: (0,) * arr.ndim,
                                      memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -131,14 +139,15 @@ def project_group_pallas(f, pos, shift, spec, Wc, Ws, L, contract_x,
     )(pos, shift, spec[None, :], Wc, Ws, f)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "contract_x", "N", "interpret"))
+@functools.partial(jax.jit, static_argnames=("L", "contract_x", "N", "interpret", "bf16"))
 def backproject_group_pallas(p, pos, shift, spec, Wc, Ws, L, contract_x, N,
-                             interpret=False):
+                             interpret=False, bf16=False):
     """Fused adjoint for one angle group: p (B, A_g, S) → (B, N, N)."""
     B, A_g, S = p.shape
     K = Wc.shape[0]
     bb = _batch_block(B)
-    kern = functools.partial(_adj_kernel, L=L, contract_x=contract_x)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    kern = functools.partial(_adj_kernel, L=L, contract_x=contract_x, cdt=cdt)
     full2 = lambda arr: pl.BlockSpec(arr.shape, lambda b, a: (0,) * arr.ndim,
                                      memory_space=pltpu.VMEM)
     out = pl.pallas_call(

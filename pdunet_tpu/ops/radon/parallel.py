@@ -54,26 +54,32 @@ def _collapse_batch(x: jnp.ndarray, ndim_event: int):
     return xb, restore
 
 
+_CDT = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
 def _ein(sub, *ops):
     return jnp.einsum(sub, *ops, preferred_element_type=jnp.float32)
 
 
-def _spectral_tensors(pos, shift, spec, L):
+def _spectral_tensors(pos, shift, spec, L, cdt=jnp.float32):
     """Generate the (A_g, N, K) spectral tensors on the fly (VPU trig over
     outer products of compact plan arrays — see geometry.build_parallel_plan).
 
     T̂ = spec·e^{−2πik·pos/L} (splat), φ = e^{+2πik·shift/L} (shear phase).
+    Trig runs in f32 (arguments span hundreds of radians); the results are
+    cast to ``cdt`` for the matmuls (bf16 → one MXU pass instead of three).
     """
     K = spec.shape[0]
     k = jnp.arange(K, dtype=pos.dtype) * (2.0 * jnp.pi / L)
     ang_t = pos[:, :, None] * k[None, None, :]
-    Tc = spec * jnp.cos(ang_t)
-    Ts = -spec * jnp.sin(ang_t)
+    Tc = (spec * jnp.cos(ang_t)).astype(cdt)
+    Ts = (-spec * jnp.sin(ang_t)).astype(cdt)
     ang_p = shift[:, :, None] * k[None, None, :]
-    return Tc, Ts, jnp.cos(ang_p), jnp.sin(ang_p)
+    return Tc, Ts, jnp.cos(ang_p).astype(cdt), jnp.sin(ang_p).astype(cdt)
 
 
-def _project_group(f, pos, shift, spec, Wc, Ws, L, contract_x: bool):
+def _project_group(f, pos, shift, spec, Wc, Ws, L, contract_x: bool,
+                   cdt=jnp.float32):
     """One angle group of the DFT-domain pipeline: f (B,N,N) → p (B,A_g,S).
 
     ĝ = f·T̂ (stage-1 splat, directly in frequency space; MXU matmul) →
@@ -83,26 +89,34 @@ def _project_group(f, pos, shift, spec, Wc, Ws, L, contract_x: bool):
     ``contract_x``: True contracts the image x-axis (x-primary group, rows
     indexed by j); False contracts the y-axis (rows indexed by i).
     """
-    Tc, Ts, Pc, Ps = _spectral_tensors(pos, shift, spec, L)
+    Tc, Ts, Pc, Ps = _spectral_tensors(pos, shift, spec, L, cdt)
+    f = f.astype(cdt)
+    Wc, Ws = Wc.astype(cdt), Ws.astype(cdt)
     sub1 = "bji,aik->bajk" if contract_x else "bji,ajk->baik"
     gr = _ein(sub1, f, Tc)
     gi = _ein(sub1, f, Ts)
     sub2 = "bajk,ajk->bak" if contract_x else "baik,aik->bak"
     s_re = _ein(sub2, gr, Pc) - _ein(sub2, gi, Ps)
     s_im = _ein(sub2, gr, Ps) + _ein(sub2, gi, Pc)
-    return _ein("bak,ks->bas", s_re, Wc) - _ein("bak,ks->bas", s_im, Ws)
+    return (_ein("bak,ks->bas", s_re.astype(cdt), Wc)
+            - _ein("bak,ks->bas", s_im.astype(cdt), Ws))
 
 
-def _backproject_group(p, pos, shift, spec, Wc, Ws, L, contract_x: bool):
+def _backproject_group(p, pos, shift, spec, Wc, Ws, L, contract_x: bool,
+                       cdt=jnp.float32):
     """Exact transpose of :func:`_project_group`: p (B,A_g,S) → f̃ (B,N,N)."""
-    Tc, Ts, Pc, Ps = _spectral_tensors(pos, shift, spec, L)
+    Tc, Ts, Pc, Ps = _spectral_tensors(pos, shift, spec, L, cdt)
+    p = p.astype(cdt)
+    Wc, Ws = Wc.astype(cdt), Ws.astype(cdt)
     s_re = _ein("bas,ks->bak", p, Wc)
     s_im = -_ein("bas,ks->bak", p, Ws)
     sub2t = "bak,ajk->bajk" if contract_x else "bak,aik->baik"
+    s_re, s_im = s_re.astype(cdt), s_im.astype(cdt)
     h_re = _ein(sub2t, s_re, Pc) + _ein(sub2t, s_im, Ps)
     h_im = -_ein(sub2t, s_re, Ps) + _ein(sub2t, s_im, Pc)
     sub1t = "bajk,aik->bji" if contract_x else "baik,ajk->bji"
-    return _ein(sub1t, h_re, Tc) + _ein(sub1t, h_im, Ts)
+    return (_ein(sub1t, h_re.astype(cdt), Tc)
+            + _ein(sub1t, h_im.astype(cdt), Ts))
 
 
 # 'auto' uses the fused Pallas kernels on TPU and the einsum pipeline (the
@@ -129,15 +143,15 @@ def parallel_project(plan: ParallelPlan, image: jnp.ndarray, impl: str = None) -
     """Factored parallel-beam forward projection. image (..., N, N) → (..., A, S)."""
     meta = plan.meta
     L = meta["S_ext"]
+    cdt = _CDT[meta.get("compute_dtype", "float32")]
     f, restore = _collapse_batch(image, 2)
-    dt = plan.Wc.dtype
-    f = f.astype(dt)
+    f = f.astype(jnp.float32)
     if _resolve_impl(impl) == "pallas":
         from pdunet_tpu.ops.radon.pallas_kernels import project_group_pallas
 
-        group = lambda *a: project_group_pallas(f, *a)
+        group = lambda *a: project_group_pallas(f, *a, bf16=cdt == jnp.bfloat16)
     else:
-        group = lambda *a: _project_group(f, *a)
+        group = lambda *a: _project_group(f, *a, cdt=cdt)
     parts = []
     if meta["A_x"]:
         parts.append(group(
@@ -154,15 +168,16 @@ def parallel_backproject(plan: ParallelPlan, sino: jnp.ndarray, impl: str = None
     """Exact transpose of :func:`parallel_project`. sino (..., A, S) → (..., N, N)."""
     meta = plan.meta
     N, L = meta["N"], meta["S_ext"]
+    cdt = _CDT[meta.get("compute_dtype", "float32")]
     p, restore = _collapse_batch(sino, 2)
-    dt = plan.Wc.dtype
-    p = p.astype(dt)
+    p = p.astype(jnp.float32)
     if _resolve_impl(impl) == "pallas":
         from pdunet_tpu.ops.radon.pallas_kernels import backproject_group_pallas
 
-        group = lambda pp, *a: backproject_group_pallas(pp, *a, N)
+        group = lambda pp, *a: backproject_group_pallas(
+            pp, *a, N, bf16=cdt == jnp.bfloat16)
     else:
-        group = lambda pp, *a: _backproject_group(pp, *a)
+        group = lambda pp, *a: _backproject_group(pp, *a, cdt=cdt)
     f = jnp.zeros((p.shape[0], N, N), jnp.float32)
     if meta["A_x"]:
         px = jnp.take(p, jnp.asarray(meta["idx_x"]), axis=1)

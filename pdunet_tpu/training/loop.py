@@ -94,6 +94,7 @@ def train(
     verbose: bool = True,
     n_devices: Optional[int] = None,
     profile_dir: Optional[str] = None,
+    tb_dir: Optional[str] = None,
 ) -> TrainResult:
     """Train one experiment preset end-to-end.
 
@@ -149,6 +150,13 @@ def train(
     val_batch = task.make_batch(val_key)
 
     history = []
+    tb_writer = None
+    if tb_dir:
+        # clu metric_writers → TensorBoard events (SURVEY.md §5.5; the
+        # reference logged scalars via Lightning's TB logger)
+        from clu import metric_writers
+
+        tb_writer = metric_writers.create_default_writer(tb_dir)
     mfile = open(metrics_path, "a") if metrics_path else None
     t0 = time.perf_counter()
     profiling = False
@@ -176,6 +184,10 @@ def train(
             if mfile:
                 mfile.write(json.dumps(m) + "\n")
                 mfile.flush()
+            if tb_writer:
+                tb_writer.write_scalars(
+                    i + 1, {k: v for k, v in m.items() if k not in ("step",)}
+                )
         if (i + 1) % tc.eval_every == 0 and not fixed_data:
             ev = {k: float(v) for k, v in eval_fn(state.params, val_batch).items()}
             if verbose:
@@ -209,4 +221,6 @@ def train(
         ckpt_mgr.close()
     if mfile:
         mfile.close()
+    if tb_writer:
+        tb_writer.flush()
     return TrainResult(state, history, final_eval, task)

@@ -133,23 +133,25 @@ def _maybe_noise(key, sino, photons):
 def build_task(config: ExperimentConfig) -> Task:
     gc, mc, tc = config.geometry, config.model, config.train
     dense_geom, sparse_geom = build_geometries(gc)
+    # use_bfloat16 applies to BOTH the networks and the physics operators'
+    # matmul operands (phases/trig stay f32 inside the ops)
+    dtype = jnp.bfloat16 if mc.use_bfloat16 else jnp.float32
     if gc.kind == "fan":
         from pdunet_tpu.ops.radon.fan import make_fan_ops
 
-        ops_dense = make_fan_ops(dense_geom)
-        ops_sparse = make_fan_ops(sparse_geom)
+        ops_dense = make_fan_ops(dense_geom, dtype=dtype)
+        ops_sparse = make_fan_ops(sparse_geom, dtype=dtype)
     elif gc.kind == "radial":
         from pdunet_tpu.ops.nufft import make_radial_ops
 
-        ops_dense = make_radial_ops(dense_geom)
-        ops_sparse = make_radial_ops(sparse_geom)
+        ops_dense = make_radial_ops(dense_geom, dtype=dtype)
+        ops_sparse = make_radial_ops(sparse_geom, dtype=dtype)
     else:
-        ops_dense = make_parallel_ops(dense_geom)
-        ops_sparse = make_parallel_ops(sparse_geom)
+        ops_dense = make_parallel_ops(dense_geom, dtype=dtype)
+        ops_sparse = make_parallel_ops(sparse_geom, dtype=dtype)
     loss = _loss(tc.loss)
     N = gc.image_size
     B = tc.batch_size
-    dtype = jnp.bfloat16 if mc.use_bfloat16 else jnp.float32
 
     def phantoms(key):
         return random_phantom_batch(key, B, N, n_ellipses=tc.n_ellipses,

@@ -37,6 +37,8 @@ def parse_args(argv=None):
                    help="capture a jax.profiler trace of steps 10-15 here")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN; slow)")
+    p.add_argument("--tb-dir", default=None,
+                   help="TensorBoard log directory (clu metric_writers)")
     p.add_argument("--dump-config", action="store_true",
                    help="print the resolved config JSON and exit")
     return p.parse_args(argv)
@@ -95,6 +97,7 @@ def main(argv=None):
     result = train(
         config, steps=args.steps, metrics_path=args.metrics, verbose=True,
         n_devices=args.devices, profile_dir=args.profile_dir,
+        tb_dir=args.tb_dir,
     )
     print(f"[done] final eval: {result.final_eval}")
     return 0
