@@ -89,7 +89,7 @@ def write_phantom_dataset(
     import h5py
 
     from pdunet_tpu.data import native
-    from pdunet_tpu.data.phantoms import random_ellipses, rasterize_ellipses
+    from pdunet_tpu.data.phantoms import random_ellipses
 
     rng = np.random.default_rng(seed)
     radius = 0.45 * image_size

@@ -13,7 +13,6 @@ real parallelism between synthesis and device execution.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import queue
 import subprocess
