@@ -12,14 +12,23 @@ from pdunet_tpu.ops.radon.parallel import (
     parallel_project,
     parallel_backproject,
     parallel_project_ref,
+    set_default_impl,
+    RadonOps,
 )
-from pdunet_tpu.ops.radon.filtering import filter_sinogram, ramp_kernel
+from pdunet_tpu.ops.radon.fan import make_fan_ops, fan_project, fan_backproject
+from pdunet_tpu.ops.radon.filtering import filter_sinogram, ramp_kernel, FILTERS
 
 __all__ = [
     "make_parallel_ops",
+    "make_fan_ops",
     "parallel_project",
     "parallel_backproject",
     "parallel_project_ref",
+    "fan_project",
+    "fan_backproject",
     "filter_sinogram",
     "ramp_kernel",
+    "FILTERS",
+    "set_default_impl",
+    "RadonOps",
 ]
