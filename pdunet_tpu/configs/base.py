@@ -92,7 +92,13 @@ class ExperimentConfig:
                 cfg = dataclasses.replace(cfg, **{parts[0]: value})
             elif len(parts) == 2:
                 section = getattr(cfg, parts[0])
-                field_type = {f.name: f.type for f in dataclasses.fields(section)}[parts[1]]
+                fields = {f.name: f.type for f in dataclasses.fields(section)}
+                if parts[1] not in fields:
+                    raise KeyError(
+                        f"unknown config field {key!r}; {parts[0]} has: "
+                        f"{sorted(fields)}"
+                    )
+                field_type = fields[parts[1]]
                 if isinstance(value, str):
                     if "int" in str(field_type):
                         value = int(value)
