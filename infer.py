@@ -119,14 +119,11 @@ def main(argv=None):
         from pdunet_tpu.data.datasets import SliceDataset, iterate_batches
 
         ds = SliceDataset(args.data, split=args.split)
-        # synthesize measurements for file-backed slices through the task's
-        # physics: reuse make_batch's operators by projecting the real slices
-        from pdunet_tpu.training.tasks import build_geometries
-
         for bi, images in enumerate(
             iterate_batches(ds, B, shuffle=False, epochs=1)
         ):
-            batch = task_batch_from_images(task, jnp.asarray(images))
+            # noiseless measurement synthesis through the task's physics
+            batch = task.batch_from_images(jnp.asarray(images))
             eval_batch(batch, f"b{bi}")
     else:
         n_batches = max(1, args.n_slices // B)
@@ -149,58 +146,6 @@ def main(argv=None):
     if args.json_out:
         pathlib.Path(args.json_out).write_text(json.dumps(table, indent=2))
     return 0
-
-
-def task_batch_from_images(task, images):
-    """Build a task batch from given ground-truth slices (file-backed eval):
-    runs the same measurement synthesis as make_batch but with fixed images."""
-    import jax
-    import jax.numpy as jnp
-
-    # The synthesis path is deterministic given the images: reuse the task's
-    # operators through its recon inputs. We reproduce the per-task batch
-    # structure here.
-    from pdunet_tpu.training.tasks import build_geometries
-
-    config = task.config
-    kind = config.model.kind
-    gc = config.geometry
-    if gc.kind == "fan":
-        from pdunet_tpu.ops.radon.fan import make_fan_ops
-
-        _, sparse = build_geometries(gc)
-        ops = make_fan_ops(sparse)
-    elif gc.kind == "radial":
-        from pdunet_tpu.ops.nufft import make_radial_ops
-
-        _, sparse = build_geometries(gc)
-        ops = make_radial_ops(sparse)
-    else:
-        from pdunet_tpu.ops.radon.parallel import make_parallel_ops
-
-        dense_g, sparse = build_geometries(gc)
-        ops = make_parallel_ops(sparse)
-
-    if kind == "fbp_unet":
-        sino = ops.A(images)
-        return {"image": images, "fbp": ops.fbp(sino)}
-    if kind == "sino_unet":
-        from pdunet_tpu.data.pipeline import interp_upsample_angles, subsample_angles
-        from pdunet_tpu.ops.radon.parallel import make_parallel_ops
-
-        dense_ops = make_parallel_ops(dense_g)
-        sino_dense = dense_ops.A(images)
-        sino_in = interp_upsample_angles(
-            subsample_angles(sino_dense, gc.sparsity), gc.sparsity
-        )
-        return {"image": images, "sino_dense": sino_dense, "sino_in": sino_in}
-    # pdunet / lpd
-    if jnp.iscomplexobj(images):
-        mag = jnp.abs(images)
-        g = ops.A(images)
-        return {"image": mag, "image_c": images, "sino": g, "f0": ops.fbp(g)}
-    g = ops.A(images)
-    return {"image": images, "sino": g, "f0": ops.fbp(g)}
 
 
 if __name__ == "__main__":

@@ -44,9 +44,13 @@ class Task(NamedTuple):
     recon_fn: Callable[[Any, dict], jnp.ndarray]
     config: ExperimentConfig
     image_size: int
+    # measurement synthesis for *given* ground-truth slices (noiseless —
+    # the file-backed evaluation path of infer.py; SURVEY.md §2b C11)
+    batch_from_images: Callable[[jnp.ndarray], dict] = None
 
 
-def _finalize(name, model, init_params, make_batch, loss_fn, recon_fn, config, N):
+def _finalize(name, model, init_params, make_batch, loss_fn, recon_fn, config,
+              N, batch_from_images=None):
     """Jit the eager-callable task entry points: on the TPU every eager
     primitive is a separate (remote) compile, so un-jitted batch synthesis
     or model.init costs minutes of compile churn. One jit each fixes it;
@@ -54,6 +58,7 @@ def _finalize(name, model, init_params, make_batch, loss_fn, recon_fn, config, N
     return Task(
         name, model, jax.jit(init_params), jax.jit(make_batch), loss_fn,
         recon_fn, config, N,
+        jax.jit(batch_from_images) if batch_from_images else None,
     )
 
 
@@ -179,8 +184,11 @@ def build_task(config: ExperimentConfig) -> Task:
             pred = predict(params, batch)
             return loss(pred, batch["image"]), {}
 
+        def batch_from_images(img):
+            return {"image": img, "fbp": ops_sparse.fbp(ops_sparse.A(img))}
+
         return _finalize(config.name, model, init_params, make_batch, loss_fn,
-                         predict, config, N)
+                         predict, config, N, batch_from_images)
 
     if mc.kind == "sino_unet":
         model = UNet(out_channels=1, base_features=mc.base_features,
@@ -223,8 +231,15 @@ def build_task(config: ExperimentConfig) -> Task:
                 aux["img_loss"] = li
             return total, aux
 
+        def batch_from_images(img):
+            sino_dense = ops_dense.A(img)
+            sino_in = interp_upsample_angles(
+                subsample_angles(sino_dense, k), k
+            )
+            return {"image": img, "sino_dense": sino_dense, "sino_in": sino_in}
+
         return _finalize(config.name, model, init_params, make_batch, loss_fn,
-                         recon_fn, config, N)
+                         recon_fn, config, N, batch_from_images)
 
     if mc.kind in ("pdunet", "lpd"):
         from pdunet_tpu.models.primal_dual import make_lpd, make_pdunet
@@ -298,6 +313,12 @@ def build_task(config: ExperimentConfig) -> Task:
                 diff = predict_c(params, batch) - batch["image_c"]
                 return jnp.mean(jnp.abs(diff)), {}
 
+            def batch_from_images(img):
+                img_c = img.astype(jnp.complex64)
+                g = ops_sparse.A(img_c)
+                return {"image": jnp.abs(img_c), "image_c": img_c,
+                        "sino": g, "f0": ops_sparse.fbp(g)}
+
         else:
             def make_batch(key):
                 k1, k2 = jax.random.split(key)
@@ -320,7 +341,11 @@ def build_task(config: ExperimentConfig) -> Task:
             def loss_fn(params, batch):
                 return loss(recon_fn(params, batch), batch["image"]), {}
 
+            def batch_from_images(img):
+                g = ops_sparse.A(img)
+                return {"image": img, "sino": g, "f0": ops_sparse.fbp(g)}
+
         return _finalize(config.name, model, init_params, make_batch, loss_fn,
-                         recon_fn, config, N)
+                         recon_fn, config, N, batch_from_images)
 
     raise NotImplementedError(f"model kind {mc.kind!r} not built yet")
