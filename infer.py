@@ -27,6 +27,8 @@ def parse_args(argv=None):
     p.add_argument("--config")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     p.add_argument("--ckpt-dir", default=None, help="checkpoint to evaluate")
+    p.add_argument("--ckpt", default="latest",
+                   help="which checkpoint: latest | best | <step>")
     p.add_argument("--data", default=None, help="HDF5 slice dataset (else synthetic)")
     p.add_argument("--split", default="test")
     p.add_argument("--n-slices", type=int, default=64,
@@ -52,8 +54,6 @@ def main(argv=None):
 
     from train import resolve_config  # same config resolution as training
 
-    args.resume = "auto"  # resolve_config expects train.py's arg surface
-    args.steps = None
     config = resolve_config(args)
     import jax.numpy as jnp
 
@@ -70,16 +70,25 @@ def main(argv=None):
     key = jax.random.PRNGKey(0)
     params = task.init_params(key)
     if args.ckpt_dir:
+        import os
+
         from pdunet_tpu.training.checkpoint import CheckpointManager
         from pdunet_tpu.training.loop import build_state
 
-        mgr = CheckpointManager(args.ckpt_dir)
+        ckpt_dir, step = args.ckpt_dir, None
+        if args.ckpt == "best":
+            # best-val weights live in their own single-slot manager so
+            # keep-N rotation never deletes them (Lightning best-ckpt parity)
+            ckpt_dir = os.path.join(args.ckpt_dir, "best")
+        elif args.ckpt != "latest":
+            step = int(args.ckpt)
+        mgr = CheckpointManager(ckpt_dir)
         template = build_state(task, params=params)
-        restored = mgr.restore(template)
+        restored = mgr.restore(template, step=step)
         if restored is None:
-            raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+            raise SystemExit(f"no {args.ckpt} checkpoint found in {ckpt_dir}")
         params = restored.params
-        print(f"[infer] restored step {int(restored.step)} from {args.ckpt_dir}")
+        print(f"[infer] restored step {int(restored.step)} ({args.ckpt}) from {ckpt_dir}")
     else:
         print("[infer] WARNING: no --ckpt-dir; evaluating randomly-initialized params")
 

@@ -139,6 +139,13 @@ def phantom_batch(
     return out
 
 
+class _ProducerError:
+    """Wrapper carrying a producer-thread exception across the queue."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class HostPrefetcher:
     """Background-thread batch producer over a bounded queue.
 
@@ -157,7 +164,10 @@ class HostPrefetcher:
 
     def _run(self):
         while not self._stop.is_set():
-            item = self._make(self._idx)
+            try:
+                item = self._make(self._idx)
+            except BaseException as exc:  # surfaced in __next__, not lost
+                item = _ProducerError(exc)
             self._idx += 1
             while not self._stop.is_set():
                 try:
@@ -165,12 +175,17 @@ class HostPrefetcher:
                     break
                 except queue.Full:
                     continue
+            if isinstance(item, _ProducerError):
+                return
 
     def __iter__(self) -> Iterator:
         return self
 
     def __next__(self):
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, _ProducerError):
+            raise RuntimeError("HostPrefetcher producer failed") from item.exc
+        return item
 
     def close(self):
         self._stop.set()

@@ -32,29 +32,38 @@ def subsample_angles(sino: jnp.ndarray, factor: int) -> jnp.ndarray:
     return sino[..., ::factor, :]
 
 
-def interp_upsample_angles(sparse: jnp.ndarray, factor: int) -> jnp.ndarray:
+def interp_upsample_angles(
+    sparse: jnp.ndarray, factor: int, angular_coverage: float = 1.0
+) -> jnp.ndarray:
     """Linear re-expansion of a sparse sinogram to the dense angle grid.
 
     Dense angle index ``i`` maps to fractional sparse index ``i / factor``;
     values are linearly interpolated between neighbouring measured angles.
-    The final segment past the last measured angle wraps to the first angle
-    with the detector axis flipped: p(θ+π, s) = p(θ, −s) (parallel-beam
-    symmetry), which is the correct periodic extension over [0, π).
+    For a full scan (``angular_coverage == 1``) the final segment past the
+    last measured angle wraps to the first angle with the detector axis
+    flipped: p(θ+π, s) = p(θ, −s) (parallel-beam symmetry), the correct
+    periodic extension over [0, π). For limited-angle scans
+    (``angular_coverage < 1``) that wrap would interpolate across a
+    non-adjacent angular gap, so the tail clamps to the last measured angle
+    instead (nearest extrapolation).
     """
     A_sp = sparse.shape[-2]
     A_dense = A_sp * factor
     pos = jnp.arange(A_dense) / factor
     lo = jnp.floor(pos).astype(jnp.int32)
     w = (pos - lo)[:, None]
-    # neighbor above; wrap to angle 0 with detector flip past the end
     hi = lo + 1
-    wraps = hi >= A_sp
-    hi_c = jnp.where(wraps, 0, hi)
-    lo_v = jnp.take(sparse, lo, axis=-2)
-    hi_v = jnp.take(sparse, hi_c, axis=-2)
-    hi_v = jnp.where(
-        wraps[:, None], jnp.flip(hi_v, axis=-1), hi_v
-    )
+    past_end = hi >= A_sp
+    if angular_coverage >= 1.0:
+        # neighbor above; wrap to angle 0 with detector flip past the end
+        hi_c = jnp.where(past_end, 0, hi)
+        lo_v = jnp.take(sparse, lo, axis=-2)
+        hi_v = jnp.take(sparse, hi_c, axis=-2)
+        hi_v = jnp.where(past_end[:, None], jnp.flip(hi_v, axis=-1), hi_v)
+    else:
+        hi_c = jnp.where(past_end, A_sp - 1, hi)
+        lo_v = jnp.take(sparse, lo, axis=-2)
+        hi_v = jnp.take(sparse, hi_c, axis=-2)
     return (1.0 - w) * lo_v + w * hi_v
 
 

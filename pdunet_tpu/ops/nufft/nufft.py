@@ -74,13 +74,15 @@ class NufftPlan:
         self.phase = phase
 
     def tree_flatten(self):
-        return (self.idx, self.w, self.apod2d, self.dcf), (self.geom, tuple(sorted(self.meta.items())))
+        return (self.idx, self.w, self.apod2d, self.dcf, self.phase), (
+            self.geom, tuple(sorted(self.meta.items())),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         geom, meta_items = aux
-        idx, w, apod2d, dcf = children
-        return cls(geom, dict(meta_items), idx, w, apod2d, dcf)
+        idx, w, apod2d, dcf, phase = children
+        return cls(geom, dict(meta_items), idx, w, apod2d, dcf, phase)
 
 
 jax.tree_util.register_pytree_node_class(NufftPlan)

@@ -156,6 +156,14 @@ def build_fan_plan(geom: FanGeometry, dtype=jnp.float32) -> FanPlan:
         pad_beta=int(2 * margin + 2),
         pad_ext=int(2 * margin + int(math.ceil(gamma_max / dbeta)) + 2),
     )
+    if full_circle and meta["pad_ext"] > n_beta:
+        # the periodic-wrap rebin concatenates p[:, -pad:] / p[:, :pad]; with
+        # fewer than pad rows the slices silently shrink and misalign base
+        raise ValueError(
+            f"full-circle fan scan too sparse to rebin: need pad_ext="
+            f"{meta['pad_ext']} wrap rows but only n_beta={n_beta} views; "
+            "increase n_angles or reduce the fan angle"
+        )
     def dev(a, dt=dtype):
         # host-side dtype conversion (see geometry.build_parallel_plan)
         return jnp.asarray(np.asarray(a, np.dtype(dt)))

@@ -32,26 +32,30 @@ class TrainResult(NamedTuple):
     task: Task
 
 
-def _make_schedule(tc):
+def _make_schedule(tc, n_steps=None):
+    """Warmup-cosine over the *actual* run length: ``n_steps`` (the resolved
+    loop length, which --steps may override) wins over ``tc.steps`` so short
+    runs still decay and long runs don't flatline at end_value."""
+    decay_steps = tc.steps if n_steps is None else n_steps
     if tc.warmup_steps > 0:
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=tc.learning_rate,
             warmup_steps=tc.warmup_steps,
-            decay_steps=max(tc.steps, tc.warmup_steps + 1),
+            decay_steps=max(decay_steps, tc.warmup_steps + 1),
             end_value=tc.learning_rate * 0.01,
         )
     return tc.learning_rate
 
 
-def build_state(task: Task, params=None, init_key=None):
+def build_state(task: Task, params=None, init_key=None, n_steps=None):
     """TrainState with the exact optimizer tree used in training — the
     single source of truth for checkpoint templates (orbax restore needs a
     structurally identical pytree)."""
     tc = task.config.train
     if params is None:
         params = task.init_params(init_key if init_key is not None else jax.random.PRNGKey(0))
-    tx = optax.adam(_make_schedule(tc))
+    tx = optax.adam(_make_schedule(tc, n_steps))
     return train_state.TrainState.create(
         apply_fn=getattr(task.model, "apply", None), params=params, tx=tx
     )
@@ -111,7 +115,7 @@ def train(
     key = jax.random.PRNGKey(tc.seed)
     key, init_key, data_key, val_key = jax.random.split(key, 4)
 
-    state = build_state(task, init_key=init_key)
+    state = build_state(task, init_key=init_key, n_steps=n_steps)
 
     mesh = None
     if n_devices is not None and n_devices > 1:
@@ -125,13 +129,25 @@ def train(
         state = replicate(state, mesh)
 
     ckpt_mgr = None
+    best_mgr = None
     start_step = 0
+    best_psnr = float("-inf")
+    best_step = -1
     if tc.ckpt_dir:
+        import os
+
         from pdunet_tpu.training.checkpoint import CheckpointManager
 
         ckpt_mgr = CheckpointManager(
             tc.ckpt_dir, max_to_keep=tc.max_checkpoints,
             save_interval_steps=tc.ckpt_every,
+        )
+        # Best-val weights survive keep-N rotation in their own single-slot
+        # manager (reference parity: Lightning checkpoint-on-best retains
+        # the best weights, not just metadata). infer.py --ckpt best loads it.
+        best_mgr = CheckpointManager(
+            os.path.join(tc.ckpt_dir, "best"), max_to_keep=1,
+            save_interval_steps=1,
         )
         latest = ckpt_mgr.latest_step()
         if latest is not None:
@@ -139,6 +155,13 @@ def train(
             start_step = int(state.step)
             if verbose:
                 print(f"[train] resumed from step {start_step}")
+        import pathlib
+
+        best_json = pathlib.Path(tc.ckpt_dir, "best.json")
+        if best_json.exists():
+            # resumed runs keep the historical best instead of clobbering it
+            prev = json.loads(best_json.read_text())
+            best_psnr, best_step = prev["psnr"], prev["step"]
 
     if mesh is not None:
         from pdunet_tpu.parallel import make_sharded_train_step
@@ -160,8 +183,6 @@ def train(
     mfile = open(metrics_path, "a") if metrics_path else None
     t0 = time.perf_counter()
     profiling = False
-    best_psnr = float("-inf")
-    best_step = -1
     for i in range(start_step, n_steps):
         if profile_dir and i == start_step + 10:
             jax.profiler.start_trace(profile_dir)
@@ -199,9 +220,10 @@ def train(
             if ev["psnr"] > best_psnr:
                 best_psnr = ev["psnr"]
                 best_step = i + 1
-                if tc.ckpt_dir:
+                if best_mgr is not None:
                     import pathlib
 
+                    best_mgr.save(best_step, state, force=True)
                     pathlib.Path(tc.ckpt_dir, "best.json").write_text(
                         json.dumps({"step": best_step, "psnr": best_psnr})
                     )
@@ -219,6 +241,9 @@ def train(
             ckpt_mgr.save(n_steps, state, force=True)
         ckpt_mgr.wait()
         ckpt_mgr.close()
+    if best_mgr is not None:
+        best_mgr.wait()
+        best_mgr.close()
     if mfile:
         mfile.close()
     if tb_writer:

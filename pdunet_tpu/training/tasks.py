@@ -202,7 +202,7 @@ def build_task(config: ExperimentConfig) -> Task:
             sino_sparse = _maybe_noise(
                 k2, subsample_angles(sino_dense, k), tc.photons_per_ray
             )
-            sino_in = interp_upsample_angles(sino_sparse, k)
+            sino_in = interp_upsample_angles(sino_sparse, k, gc.angular_coverage)
             return {"image": img, "sino_dense": sino_dense, "sino_in": sino_in}
 
         def init_params(key):
@@ -234,7 +234,7 @@ def build_task(config: ExperimentConfig) -> Task:
         def batch_from_images(img):
             sino_dense = ops_dense.A(img)
             sino_in = interp_upsample_angles(
-                subsample_angles(sino_dense, k), k
+                subsample_angles(sino_dense, k), k, gc.angular_coverage
             )
             return {"image": img, "sino_dense": sino_dense, "sino_in": sino_in}
 

@@ -48,3 +48,17 @@ def test_prefetcher_overlaps():
     got = [next(pf)[0] for _ in range(4)]
     pf.close()
     assert got == [0, 1, 2, 3]
+
+
+def test_prefetcher_propagates_producer_error():
+    def make(i):
+        if i == 1:
+            raise ValueError("boom at 1")
+        return i
+
+    pf = native.HostPrefetcher(make, depth=2)
+    assert next(pf) == 0
+    with pytest.raises(RuntimeError, match="producer failed"):
+        # item 1's exception surfaces here instead of hanging the consumer
+        next(pf)
+    pf.close()

@@ -62,3 +62,35 @@ def test_checkpoint_resume(tmp_path):
     r2 = train(config2, fixed_data=True, verbose=False)
     assert int(r2.state.step) == 60
     assert r2.history[-1]["loss"] <= r1.history[-1]["loss"] * 1.5
+
+
+def test_best_checkpoint_survives_rotation(tmp_path):
+    """The best-val weights must outlive keep-N rotation (ADVICE.md r1:
+    best.json alone is metadata, not a policy) and load via infer's path."""
+    import json
+
+    from pdunet_tpu.training.checkpoint import CheckpointManager
+    from pdunet_tpu.training.loop import build_state
+    from pdunet_tpu.training.tasks import build_task
+
+    ckpt_dir = tmp_path / "ckpt"
+    config = tiny(get_preset("fbp_unet_parallel"))
+    config = dataclasses.replace(
+        config,
+        train=dataclasses.replace(
+            config.train, ckpt_dir=str(ckpt_dir), ckpt_every=10, steps=60,
+            eval_every=10, max_checkpoints=2, log_every=20,
+        ),
+    )
+    train(config, verbose=False)
+    best = json.loads((ckpt_dir / "best.json").read_text())
+    # rotation kept only the last 2 step checkpoints...
+    mgr = CheckpointManager(str(ckpt_dir), max_to_keep=2)
+    assert mgr.latest_step() == 60
+    # ...but the best-step weights survive in the single-slot best manager
+    best_mgr = CheckpointManager(str(ckpt_dir / "best"), max_to_keep=1)
+    assert best_mgr.latest_step() == best["step"]
+    task = build_task(config)
+    template = build_state(task)
+    restored = best_mgr.restore(template)
+    assert int(restored.step) == best["step"]

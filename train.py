@@ -64,7 +64,7 @@ def resolve_config(args):
         config = dataclasses.replace(
             config, train=dataclasses.replace(config.train, ckpt_dir=args.ckpt_dir)
         )
-    if args.resume == "none" and config.train.ckpt_dir:
+    if getattr(args, "resume", "auto") == "none" and config.train.ckpt_dir:
         # fresh run: refuse to silently clobber an existing run dir
         ckpt = pathlib.Path(config.train.ckpt_dir)
         if ckpt.exists() and any(ckpt.iterdir()):
