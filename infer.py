@@ -35,6 +35,9 @@ def parse_args(argv=None):
                    help="synthetic test-set size (ignored with --data)")
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--corrupt", action="store_true",
+                   help="evaluate under the task's training corruption "
+                        "(e.g. low-dose noise) instead of noiseless synthesis")
     p.add_argument("--export-png", default=None, help="directory for PNG dumps")
     p.add_argument("--export-count", type=int, default=4)
     p.add_argument("--json-out", default=None, help="write metrics JSON here")
@@ -124,6 +127,8 @@ def main(argv=None):
                 dump(batch["image"][i], f"{exported:03d}_gt")
                 exported += 1
 
+    corrupt_key = jax.random.PRNGKey(args.seed + 1) if args.corrupt else None
+
     if args.data:
         from pdunet_tpu.data.datasets import SliceDataset, iterate_batches
 
@@ -131,14 +136,32 @@ def main(argv=None):
         for bi, images in enumerate(
             iterate_batches(ds, B, shuffle=False, epochs=1)
         ):
-            # noiseless measurement synthesis through the task's physics
-            batch = task.batch_from_images(jnp.asarray(images))
+            if np.iscomplexobj(images):
+                # (re, im) pair: complex64 cannot cross host→device on axon
+                images = (
+                    jnp.asarray(images.real, jnp.float32),
+                    jnp.asarray(images.imag, jnp.float32),
+                )
+            else:
+                images = jnp.asarray(images)
+            # measurement synthesis through the task's physics; --corrupt
+            # adds the training-time noise so eval matches the trained task
+            key = jax.random.fold_in(corrupt_key, bi) if args.corrupt else None
+            batch = task.batch_from_images(images, key)
             eval_batch(batch, f"b{bi}")
     else:
         n_batches = max(1, args.n_slices // B)
         data_key = jax.random.PRNGKey(args.seed)
         for bi in range(n_batches):
-            batch = task.make_batch(jax.random.fold_in(data_key, bi))
+            if args.corrupt:
+                # make_batch already applies the training corruption
+                batch = task.make_batch(jax.random.fold_in(data_key, bi))
+            else:
+                clean = task.make_batch(jax.random.fold_in(data_key, bi))
+                img = clean.get("image_c", clean["image"])
+                if jnp.iscomplexobj(img):
+                    img = (jnp.real(img), jnp.imag(img))
+                batch = task.batch_from_images(img)
             eval_batch(batch, f"b{bi}")
 
     table = {

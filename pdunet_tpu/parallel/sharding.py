@@ -48,12 +48,17 @@ def shard_batch_spec(batch_example, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(spec, batch_example)
 
 
-def make_sharded_train_step(task, mesh: Mesh, axis: str = "data", donate: bool = True):
+def make_sharded_train_step(
+    task, mesh: Mesh, axis: str = "data", donate: bool = True,
+    from_images: bool = False,
+):
     """Batch-data-parallel version of ``loop.make_train_step``.
 
-    The batch is synthesized *inside* the jit and constrained to the data
-    axis, so each chip generates only its shard; the gradient all-reduce is
-    inserted by XLA (psum over ICI). State lives replicated.
+    The batch is synthesized (or, with ``from_images``, the host-loaded
+    ground-truth slices are corrupted/projected) *inside* the jit and
+    constrained to the data axis, so each chip computes only its shard;
+    the gradient all-reduce is inserted by XLA (psum over ICI). State
+    lives replicated.
     """
     import optax
     from jax.sharding import NamedSharding, PartitionSpec
@@ -68,9 +73,7 @@ def make_sharded_train_step(task, mesh: Mesh, axis: str = "data", donate: bool =
 
         return jax.tree_util.tree_map(c, batch)
 
-    def step(state, key):
-        batch = constrain(task.make_batch(key))
-
+    def _update(state, batch):
         def loss_of(params):
             return task.loss_fn(params, batch)
 
@@ -78,6 +81,13 @@ def make_sharded_train_step(task, mesh: Mesh, axis: str = "data", donate: bool =
         state = state.apply_gradients(grads=grads)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
         return state, metrics
+
+    if from_images:
+        def step(state, key, images):
+            return _update(state, constrain(task.batch_from_images(images, key)))
+    else:
+        def step(state, key):
+            return _update(state, constrain(task.make_batch(key)))
 
     return jax.jit(
         step,

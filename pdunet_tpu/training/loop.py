@@ -61,20 +61,32 @@ def build_state(task: Task, params=None, init_key=None, n_steps=None):
     )
 
 
-def make_train_step(task: Task, donate: bool = True):
-    """Build the single jitted train step: (state, key) → (state, metrics)."""
+def make_train_step(task: Task, donate: bool = True, from_images: bool = False):
+    """Build the single jitted train step.
 
-    def step(state, key):
-        batch = task.make_batch(key)
+    Synthetic mode: (state, key) → (state, metrics) — the batch is
+    synthesized on device inside the jit.
+    File-backed mode (``from_images``): (state, key, images) → same, where
+    ``images`` are host-loaded ground-truth slices and the task's
+    measurement synthesis + training corruption run inside the jit
+    (SURVEY.md §3.1: the DataLoader-worker boundary carries only images).
+    """
 
+    def _update(state, batch):
         def loss_of(params):
             return task.loss_fn(params, batch)
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
         gnorm = optax.global_norm(grads)
-        metrics = {"loss": loss, "grad_norm": gnorm, **aux}
-        return state, metrics
+        return state, {"loss": loss, "grad_norm": gnorm, **aux}
+
+    if from_images:
+        def step(state, key, images):
+            return _update(state, task.batch_from_images(images, key))
+    else:
+        def step(state, key):
+            return _update(state, task.make_batch(key))
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -99,6 +111,8 @@ def train(
     n_devices: Optional[int] = None,
     profile_dir: Optional[str] = None,
     tb_dir: Optional[str] = None,
+    data: Optional[str] = None,
+    split: str = "train",
 ) -> TrainResult:
     """Train one experiment preset end-to-end.
 
@@ -107,6 +121,10 @@ def train(
     ``n_devices``: >1 shards the batch over a data-parallel mesh (XLA psum
     over ICI; SURVEY.md §2d). ``profile_dir``: capture a jax.profiler trace
     of steps 10-15 (SURVEY.md §5.1).
+    ``data``: HDF5 slice dataset path — train from file-backed ground truth
+    (host prefetch thread feeds image batches; measurement synthesis + the
+    task's training corruption run inside the jitted step). Validation uses
+    the dataset's ``val`` split, noiselessly.
     """
     tc = config.train
     n_steps = tc.steps if steps is None else steps
@@ -114,6 +132,52 @@ def train(
 
     key = jax.random.PRNGKey(tc.seed)
     key, init_key, data_key, val_key = jax.random.split(key, 4)
+
+    prefetcher = None
+    val_images = None
+    if data is not None:
+        if fixed_data:
+            raise ValueError("fixed_data and data= are mutually exclusive")
+        import numpy as np
+
+        from pdunet_tpu.data.datasets import SliceDataset, iterate_batches
+        from pdunet_tpu.data.native import HostPrefetcher
+
+        train_ds = SliceDataset(data, split=split)
+        if train_ds.image_size != config.geometry.image_size:
+            raise ValueError(
+                f"dataset slices are {train_ds.image_size}² but config expects "
+                f"{config.geometry.image_size}²"
+            )
+
+        def _host_images(batch_np):
+            # complex64 cannot cross host→device on axon: ship (re, im)
+            if np.iscomplexobj(batch_np):
+                return (
+                    np.ascontiguousarray(batch_np.real, np.float32),
+                    np.ascontiguousarray(batch_np.imag, np.float32),
+                )
+            return np.ascontiguousarray(batch_np, np.float32)
+
+        batch_iter = iterate_batches(
+            train_ds, tc.batch_size, shuffle=True, seed=tc.seed
+        )
+        prefetcher = HostPrefetcher(
+            lambda _i: _host_images(next(batch_iter)), depth=2
+        )
+        try:
+            val_ds = SliceDataset(data, split="val")
+            if len(val_ds) >= tc.batch_size:
+                val_images = _host_images(
+                    next(iterate_batches(val_ds, tc.batch_size, shuffle=False))
+                )
+            val_ds.close()
+        except Exception:
+            pass
+        if val_images is None:  # tiny datasets: validate on the first batch
+            val_images = _host_images(
+                next(iterate_batches(train_ds, tc.batch_size, shuffle=False))
+            )
 
     state = build_state(task, init_key=init_key, n_steps=n_steps)
 
@@ -163,14 +227,18 @@ def train(
             prev = json.loads(best_json.read_text())
             best_psnr, best_step = prev["psnr"], prev["step"]
 
+    from_images = prefetcher is not None
     if mesh is not None:
         from pdunet_tpu.parallel import make_sharded_train_step
 
-        step_fn = make_sharded_train_step(task, mesh)
+        step_fn = make_sharded_train_step(task, mesh, from_images=from_images)
     else:
-        step_fn = make_train_step(task)
+        step_fn = make_train_step(task, from_images=from_images)
     eval_fn = make_eval_step(task)
-    val_batch = task.make_batch(val_key)
+    if from_images:
+        val_batch = task.batch_from_images(val_images)  # noiseless eval
+    else:
+        val_batch = task.make_batch(val_key)
 
     history = []
     tb_writer = None
@@ -194,7 +262,10 @@ def train(
             step_key = jax.random.fold_in(data_key, 0)
         else:
             step_key = jax.random.fold_in(data_key, i)
-        state, metrics = step_fn(state, step_key)
+        if from_images:
+            state, metrics = step_fn(state, step_key, next(prefetcher))
+        else:
+            state, metrics = step_fn(state, step_key)
 
         if (i + 1) % tc.log_every == 0 or i == n_steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
@@ -232,6 +303,9 @@ def train(
 
     if profiling:
         jax.profiler.stop_trace()
+    if prefetcher is not None:
+        prefetcher.close()
+        train_ds.close()
     eval_batch = val_batch if not fixed_data else task.make_batch(
         jax.random.fold_in(data_key, 0)
     )

@@ -44,9 +44,14 @@ class Task(NamedTuple):
     recon_fn: Callable[[Any, dict], jnp.ndarray]
     config: ExperimentConfig
     image_size: int
-    # measurement synthesis for *given* ground-truth slices (noiseless —
-    # the file-backed evaluation path of infer.py; SURVEY.md §2b C11)
-    batch_from_images: Callable[[jnp.ndarray], dict] = None
+    # measurement synthesis for *given* ground-truth slices — the
+    # file-backed training/evaluation path (SURVEY.md §2b C10-C12).
+    # Signature: (images, key=None). With a key, the task's training
+    # corruption (e.g. low-dose Poisson noise) is applied inside jit;
+    # key=None is the noiseless evaluation default. Complex tasks accept
+    # either a complex array or a (real, imag) float pair — complex64
+    # cannot cross host→device on the axon TPU backend (utils/device.py).
+    batch_from_images: Callable[..., dict] = None
 
 
 def _finalize(name, model, init_params, make_batch, loss_fn, recon_fn, config,
@@ -184,8 +189,11 @@ def build_task(config: ExperimentConfig) -> Task:
             pred = predict(params, batch)
             return loss(pred, batch["image"]), {}
 
-        def batch_from_images(img):
-            return {"image": img, "fbp": ops_sparse.fbp(ops_sparse.A(img))}
+        def batch_from_images(img, key=None):
+            sino = ops_sparse.A(img)
+            if key is not None:
+                sino = _maybe_noise(key, sino, tc.photons_per_ray)
+            return {"image": img, "fbp": ops_sparse.fbp(sino)}
 
         return _finalize(config.name, model, init_params, make_batch, loss_fn,
                          predict, config, N, batch_from_images)
@@ -231,11 +239,12 @@ def build_task(config: ExperimentConfig) -> Task:
                 aux["img_loss"] = li
             return total, aux
 
-        def batch_from_images(img):
+        def batch_from_images(img, key=None):
             sino_dense = ops_dense.A(img)
-            sino_in = interp_upsample_angles(
-                subsample_angles(sino_dense, k), k, gc.angular_coverage
-            )
+            sino_sparse = subsample_angles(sino_dense, k)
+            if key is not None:
+                sino_sparse = _maybe_noise(key, sino_sparse, tc.photons_per_ray)
+            sino_in = interp_upsample_angles(sino_sparse, k, gc.angular_coverage)
             return {"image": img, "sino_dense": sino_dense, "sino_in": sino_in}
 
         return _finalize(config.name, model, init_params, make_batch, loss_fn,
@@ -313,8 +322,16 @@ def build_task(config: ExperimentConfig) -> Task:
                 diff = predict_c(params, batch) - batch["image_c"]
                 return jnp.mean(jnp.abs(diff)), {}
 
-            def batch_from_images(img):
-                img_c = img.astype(jnp.complex64)
+            def batch_from_images(img, key=None):
+                # (re, im) pair → complex on device (axon: complex64 cannot
+                # cross host→device); plain arrays are cast
+                if isinstance(img, (tuple, list)):
+                    img_c = jax.lax.complex(
+                        jnp.asarray(img[0], jnp.float32),
+                        jnp.asarray(img[1], jnp.float32),
+                    )
+                else:
+                    img_c = img.astype(jnp.complex64)
                 g = ops_sparse.A(img_c)
                 return {"image": jnp.abs(img_c), "image_c": img_c,
                         "sino": g, "f0": ops_sparse.fbp(g)}
@@ -341,8 +358,10 @@ def build_task(config: ExperimentConfig) -> Task:
             def loss_fn(params, batch):
                 return loss(recon_fn(params, batch), batch["image"]), {}
 
-            def batch_from_images(img):
+            def batch_from_images(img, key=None):
                 g = ops_sparse.A(img)
+                if key is not None:
+                    g = _maybe_noise(key, g, tc.photons_per_ray)
                 return {"image": img, "sino": g, "f0": ops_sparse.fbp(g)}
 
         return _finalize(config.name, model, init_params, make_batch, loss_fn,

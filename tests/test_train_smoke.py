@@ -64,6 +64,49 @@ def test_checkpoint_resume(tmp_path):
     assert r2.history[-1]["loss"] <= r1.history[-1]["loss"] * 1.5
 
 
+def test_file_backed_training(tmp_path):
+    """train(data=...) consumes an HDF5 slice store through the host
+    prefetcher; measurement synthesis + corruption run inside the jitted
+    step. The loss must drop like the synthetic path's (VERDICT r1 #3)."""
+    from pdunet_tpu.data.datasets import write_phantom_dataset
+
+    path = write_phantom_dataset(
+        str(tmp_path / "slices.h5"), n_slices=40, image_size=32,
+        n_ellipses=3, seed=3,
+    )
+    config = tiny(get_preset("fbp_unet_parallel"))
+    config = dataclasses.replace(
+        config, train=dataclasses.replace(config.train, steps=120)
+    )
+    result = train(config, data=path, verbose=False)
+    first = result.history[0]["loss"]
+    last = result.history[-1]["loss"]
+    assert last < 0.6 * first, f"file-backed loss {first:.4f} → {last:.4f}"
+    assert result.final_eval["psnr"] > 15.0
+
+
+def test_file_backed_complex_radial(tmp_path):
+    """Complex HDF5 slices feed the radial task as (re, im) pairs (the axon
+    backend cannot transfer complex64), and training steps run."""
+    from pdunet_tpu.data.datasets import write_phantom_dataset
+
+    path = write_phantom_dataset(
+        str(tmp_path / "mri.h5"), n_slices=12, image_size=32,
+        n_ellipses=3, seed=4, complex_phase=True,
+    )
+    config = tiny(get_preset("pdunet_radial"), n_iters=2)
+    config = dataclasses.replace(
+        config,
+        geometry=dataclasses.replace(
+            config.geometry, n_angles=48, samples_per_spoke=48
+        ),
+        train=dataclasses.replace(config.train, steps=8, log_every=4),
+    )
+    result = train(config, data=path, verbose=False)
+    assert len(result.history) >= 2
+    assert all(h["loss"] > 0 for h in result.history)
+
+
 def test_best_checkpoint_survives_rotation(tmp_path):
     """The best-val weights must outlive keep-N rotation (ADVICE.md r1:
     best.json alone is metadata, not a policy) and load via infer's path."""

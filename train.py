@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--resume", choices=["auto", "none"], default="auto",
                    help="auto-resume from latest checkpoint in --ckpt-dir")
     p.add_argument("--metrics", default=None, help="JSONL metrics output path")
+    p.add_argument("--data", default=None,
+                   help="HDF5 slice dataset: train file-backed instead of on-device synthesis")
+    p.add_argument("--split", default="train", help="dataset split for --data")
     p.add_argument("--platform", default=None,
                    help="force JAX platform (cpu for local dev; default: env)")
     p.add_argument("--devices", type=int, default=None,
@@ -97,7 +100,7 @@ def main(argv=None):
     result = train(
         config, steps=args.steps, metrics_path=args.metrics, verbose=True,
         n_devices=args.devices, profile_dir=args.profile_dir,
-        tb_dir=args.tb_dir,
+        tb_dir=args.tb_dir, data=args.data, split=args.split,
     )
     print(f"[done] final eval: {result.final_eval}")
     return 0
