@@ -77,6 +77,28 @@ def test_adjoint_dot_product(plan):
     assert abs(lhs - rhs) / abs(lhs) < 1e-4
 
 
+@pytest.mark.parametrize(
+    "dtype,tol", [(jnp.float32, 1e-4), (jnp.bfloat16, 2e-2)], ids=["f32", "bf16"]
+)
+def test_radial_ops_adjoint_per_dtype(dtype, tol):
+    """The production radial bundle (fourier-slice fast path) keeps the
+    complex adjoint identity per compute dtype (SURVEY.md §4.2.2)."""
+    ops = make_radial_ops(GEOM, dtype=dtype)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.standard_normal((32, 32)) + 1j * rng.standard_normal((32, 32)),
+        jnp.complex64,
+    )
+    y = jnp.asarray(
+        rng.standard_normal((GEOM.n_spokes, GEOM.samples_per_spoke))
+        + 1j * rng.standard_normal((GEOM.n_spokes, GEOM.samples_per_spoke)),
+        jnp.complex64,
+    )
+    lhs = jnp.vdot(ops.A(x), y)
+    rhs = jnp.vdot(x, ops.At(y))
+    assert abs(lhs - rhs) / abs(lhs) < tol
+
+
 def test_gaussian_closed_form(plan):
     """Gaussian image has closed-form k-space: F(k) = 2πs²·exp(−s²|k|²/2)."""
     N, s = 32, 3.0

@@ -25,28 +25,43 @@ def plan():
     return build_parallel_plan(GEOM)
 
 
+# bf16 runs both the kernel and the einsum twin with bf16 matmul operands
+# (f32 accumulate): agreement is to op-ordering differences, ~1e-3
+_BF16 = [(False, 1e-5), (True, 5e-3)]
+
+
 @pytest.mark.parametrize("contract_x", [True, False])
-def test_fwd_kernel_matches_einsum(plan, contract_x, rng):
+@pytest.mark.parametrize("bf16,tol", _BF16, ids=["f32", "bf16"])
+def test_fwd_kernel_matches_einsum(plan, contract_x, bf16, tol, rng):
     f = jnp.asarray(rng.standard_normal((2, 32, 32)), jnp.float32)
     pos = plan.pos_x if contract_x else plan.pos_y
     shift = plan.shift_x if contract_x else plan.shift_y
     L = plan.meta["S_ext"]
-    ref = _project_group(f, pos, shift, plan.spec, plan.Wc, plan.Ws, L, contract_x)
-    out = project_group_pallas(
-        f, pos, shift, plan.spec, plan.Wc, plan.Ws, L, contract_x, interpret=True
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    ref = _project_group(
+        f, pos, shift, plan.spec, plan.Wc, plan.Ws, L, contract_x, cdt=cdt
     )
-    assert rel(out, ref) < 1e-5
+    out = project_group_pallas(
+        f, pos, shift, plan.spec, plan.Wc, plan.Ws, L, contract_x,
+        interpret=True, bf16=bf16,
+    )
+    assert rel(out, ref) < tol
 
 
 @pytest.mark.parametrize("contract_x", [True, False])
-def test_adj_kernel_matches_einsum(plan, contract_x, rng):
+@pytest.mark.parametrize("bf16,tol", _BF16, ids=["f32", "bf16"])
+def test_adj_kernel_matches_einsum(plan, contract_x, bf16, tol, rng):
     A_g = (plan.pos_x if contract_x else plan.pos_y).shape[0]
     p = jnp.asarray(rng.standard_normal((2, A_g, 32)), jnp.float32)
     pos = plan.pos_x if contract_x else plan.pos_y
     shift = plan.shift_x if contract_x else plan.shift_y
     L = plan.meta["S_ext"]
-    ref = _backproject_group(p, pos, shift, plan.spec, plan.Wc, plan.Ws, L, contract_x)
-    out = backproject_group_pallas(
-        p, pos, shift, plan.spec, plan.Wc, plan.Ws, L, contract_x, 32, interpret=True
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    ref = _backproject_group(
+        p, pos, shift, plan.spec, plan.Wc, plan.Ws, L, contract_x, cdt=cdt
     )
-    assert rel(out, ref) < 1e-5
+    out = backproject_group_pallas(
+        p, pos, shift, plan.spec, plan.Wc, plan.Ws, L, contract_x, 32,
+        interpret=True, bf16=bf16,
+    )
+    assert rel(out, ref) < tol

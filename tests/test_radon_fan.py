@@ -56,14 +56,18 @@ def test_fan_matches_analytic(plan):
     assert rel_l2(sino, gt) < 0.03
 
 
-def test_fan_adjoint_dot_product(plan, rng):
+@pytest.mark.parametrize(
+    "dtype,tol", [(jnp.float32, 5e-5), (jnp.bfloat16, 2e-2)], ids=["f32", "bf16"]
+)
+def test_fan_adjoint_dot_product(dtype, tol, rng):
+    plan = build_fan_plan(GEOM, dtype=dtype)
     x = jnp.asarray(rng.standard_normal((GEOM.image_size,) * 2), jnp.float32)
     y = jnp.asarray(
         rng.standard_normal((GEOM.n_angles, GEOM.det_count)), jnp.float32
     )
     lhs = jnp.vdot(fan_project(plan, x), y)
     rhs = jnp.vdot(x, fan_backproject(plan, y))
-    assert abs(lhs - rhs) / abs(lhs) < 5e-5
+    assert abs(lhs - rhs) / abs(lhs) < tol
 
 
 def test_fan_fbp_roundtrip():

@@ -80,7 +80,15 @@ def test_factored_matches_ray_oracle(plan, phantom):
     assert rel_l2(a, b) < 0.03
 
 
-def test_adjoint_dot_product(plan, rng):
+# per-dtype coverage (SURVEY.md §4.2.2 "per geometry, per dtype"): the bf16
+# operand path shares weights between A and A†, so the adjoint identity
+# holds to bf16 rounding (~2^-8) rather than f32 precision
+_DTYPE_TOL = [(jnp.float32, 5e-5), (jnp.bfloat16, 2e-2)]
+
+
+@pytest.mark.parametrize("dtype,tol", _DTYPE_TOL, ids=["f32", "bf16"])
+def test_adjoint_dot_product(dtype, tol, rng):
+    plan = build_parallel_plan(GEOM, dtype=dtype)
     x = jnp.asarray(rng.standard_normal((GEOM.image_size,) * 2), jnp.float32)
     y = jnp.asarray(
         rng.standard_normal((GEOM.n_angles, GEOM.det_count)), jnp.float32
@@ -89,18 +97,20 @@ def test_adjoint_dot_product(plan, rng):
     aty = parallel_backproject(plan, y)
     lhs = jnp.vdot(ax, y)
     rhs = jnp.vdot(x, aty)
-    assert abs(lhs - rhs) / abs(lhs) < 5e-5
+    assert abs(lhs - rhs) / abs(lhs) < tol
 
 
-def test_adjoint_equals_linear_transpose(plan, rng):
+@pytest.mark.parametrize("dtype,tol", _DTYPE_TOL, ids=["f32", "bf16"])
+def test_adjoint_equals_linear_transpose(dtype, tol, rng):
     """Production adjoint == exact transpose of the production forward."""
+    plan = build_parallel_plan(GEOM, dtype=dtype)
     x_shape = jax.ShapeDtypeStruct((GEOM.image_size,) * 2, jnp.float32)
     y = jnp.asarray(
         rng.standard_normal((GEOM.n_angles, GEOM.det_count)), jnp.float32
     )
     (transposed,) = jax.linear_transpose(lambda f: parallel_project(plan, f), x_shape)(y)
     ours = parallel_backproject(plan, y)
-    assert rel_l2(ours, transposed) < 5e-5
+    assert rel_l2(ours, transposed) < tol
 
 
 def test_custom_vjp_pairing(rng):
