@@ -22,17 +22,37 @@ import time
 TARGET_PER_CHIP = 125.0  # BASELINE.json:5: ≥1000/s on v5e-8
 
 
-def timeit(fn, *args, warmup=3, iters=10):
-    import jax
+def timeit(fn, x0, iters=10):
+    """Device-honest timing of ``fn`` (array → array).
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    On the axon TPU backend ``jax.block_until_ready`` returns before remote
+    execution finishes, so host-loop timing measures dispatch, not compute.
+    Instead the repetition happens *on device*: a ``lax.fori_loop`` whose
+    carry re-derives the input from each iteration's output (a scalar data
+    dependency XLA cannot DCE), closed by a 4-byte scalar pull that forces
+    completion. The loop bound is a traced scalar so the 0-iteration
+    baseline (pull latency) shares the executable and subtracts cleanly.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def body(_, x):
+        out = fn(x)
+        dep = jnp.real(jnp.ravel(out)[0]).astype(jnp.float32) * 1e-30
+        return x * (1.0 + dep.astype(x.dtype))
+
+    @jax.jit
+    def loop(n, x):
+        return jnp.real(jnp.ravel(lax.fori_loop(0, n, body, x))[0])
+
+    float(loop(iters, x0))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    float(loop(0, x0))
+    base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(loop(iters, x0))
+    return max(time.perf_counter() - t0 - base, 1e-9) / iters
 
 
 def main(argv=None):
@@ -72,8 +92,11 @@ def main(argv=None):
     params = task.init_params(key)
     batch = task.make_batch(key)
 
-    recon = jax.jit(lambda p, b: task.recon_fn(p, b))
-    dt = timeit(recon, params, batch)
+    # carry the reconstruction back in as the next initial image: a real
+    # data dependency, so the fori_loop times back-to-back reconstructions
+    dt = timeit(
+        lambda f0: task.recon_fn(params, dict(batch, f0=f0)), batch["f0"]
+    )
     per_chip = args.batch / dt
 
     result = {
@@ -96,16 +119,13 @@ def main(argv=None):
         img = batch["image"]
         sino = batch["sino"]
 
-        A_j = jax.jit(ops.A)
-        dt_a = timeit(A_j, img)
+        dt_a = timeit(ops.A, img)
         details["radon_fwd_slices_per_sec"] = round(args.batch / dt_a, 2)
 
-        At_j = jax.jit(ops.At)
-        dt_at = timeit(At_j, sino)
+        dt_at = timeit(ops.At, sino)
         details["radon_adj_slices_per_sec"] = round(args.batch / dt_at, 2)
 
-        fbp_j = jax.jit(ops.fbp)
-        dt_f = timeit(fbp_j, sino)
+        dt_f = timeit(ops.fbp, sino)
         details["fbp_slices_per_sec"] = round(args.batch / dt_f, 2)
 
         from pdunet_tpu.training.loop import make_train_step
@@ -117,7 +137,28 @@ def main(argv=None):
         state = train_state.TrainState.create(
             apply_fn=None, params=params, tx=optax.adam(1e-3)
         )
-        dt_t = timeit(lambda s, k: step(s, k)[1]["loss"], state, key, warmup=2, iters=5)
+
+        # train-step chain: the optimizer state is the natural carry
+        import jax.numpy as jnp
+        from jax import lax
+
+        @jax.jit
+        def train_loop(n, s):
+            def body(i, s):
+                s2, _ = step(s, jax.random.fold_in(key, i))
+                return s2
+            out = lax.fori_loop(0, n, body, s)
+            leaf = jax.tree_util.tree_leaves(out.params)[0]
+            return jnp.real(jnp.ravel(leaf))[0]
+
+        float(train_loop(2, state))
+        t0 = time.perf_counter()
+        float(train_loop(0, state))
+        base = time.perf_counter() - t0
+        iters = 5
+        t0 = time.perf_counter()
+        float(train_loop(iters, state))
+        dt_t = max(time.perf_counter() - t0 - base, 1e-9) / iters
         details["train_step_sec"] = round(dt_t, 4)
         details["train_slices_per_sec"] = round(args.batch / dt_t, 2)
 

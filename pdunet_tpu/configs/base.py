@@ -34,6 +34,7 @@ class ModelConfig:
     kind: str = "fbp_unet"          # sino_unet | fbp_unet | lpd | pdunet
     base_features: int = 64
     depth: int = 4
+    stem: int = 1                   # UNet space-to-depth patch (TPU: use 2)
     n_iters: int = 4                # unroll length (lpd/pdunet)
     lpd_features: int = 32          # conv features of the small LPD nets
     primal_channels: int = 5        # LPD primal/dual memory

@@ -178,6 +178,7 @@ def make_pdunet(
     n_iters: int = 4,
     base_features: int = 32,
     depth: int = 3,
+    stem: int = 1,
     complex_ops: bool = False,
     dtype=jnp.float32,
 ) -> UnrolledPrimalDual:
@@ -187,10 +188,12 @@ def make_pdunet(
         A=A,
         At=At,
         make_dual=lambda: UNet(
-            out_channels=step, base_features=base_features, depth=depth, dtype=dtype
+            out_channels=step, base_features=base_features, depth=depth,
+            stem=stem, dtype=dtype
         ),
         make_primal=lambda: UNet(
-            out_channels=step, base_features=base_features, depth=depth, dtype=dtype
+            out_channels=step, base_features=base_features, depth=depth,
+            stem=stem, dtype=dtype
         ),
         n_iters=n_iters,
         primal_channels=1,

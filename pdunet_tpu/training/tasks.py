@@ -169,7 +169,7 @@ def build_task(config: ExperimentConfig) -> Task:
 
     if mc.kind == "fbp_unet":
         model = UNet(out_channels=1, base_features=mc.base_features,
-                     depth=mc.depth, dtype=dtype)
+                     depth=mc.depth, stem=mc.stem, dtype=dtype)
 
         def make_batch(key):
             k1, k2 = jax.random.split(key)
@@ -200,7 +200,7 @@ def build_task(config: ExperimentConfig) -> Task:
 
     if mc.kind == "sino_unet":
         model = UNet(out_channels=1, base_features=mc.base_features,
-                     depth=mc.depth, dtype=dtype)
+                     depth=mc.depth, stem=mc.stem, dtype=dtype)
         k = gc.sparsity
 
         def make_batch(key):
@@ -267,8 +267,8 @@ def build_task(config: ExperimentConfig) -> Task:
         if mc.kind == "pdunet":
             model = make_pdunet(
                 A=A_n, At=At_n, n_iters=mc.n_iters,
-                base_features=mc.base_features, depth=mc.depth, dtype=dtype,
-                complex_ops=is_complex,
+                base_features=mc.base_features, depth=mc.depth,
+                stem=mc.stem, dtype=dtype, complex_ops=is_complex,
             )
         else:
             model = make_lpd(

@@ -1,0 +1,57 @@
+"""UNet module tests: stem (space-to-depth) variant, odd shapes, dtypes."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pdunet_tpu.models.unet import UNet, depth_to_space, space_to_depth
+
+
+@pytest.mark.parametrize("s", [2, 4])
+def test_space_depth_roundtrip(s):
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    assert jnp.array_equal(depth_to_space(space_to_depth(x, s), s), x)
+
+
+def test_space_to_depth_blocks():
+    # each output channel group must be one 2x2 block of the input
+    x = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    y = space_to_depth(x, 2)
+    assert y.shape == (1, 2, 2, 4)
+    # block at (0,0) of a row-major 4x4: pixels 0,1,4,5
+    assert y[0, 0, 0].tolist() == [0.0, 1.0, 4.0, 5.0]
+
+
+@pytest.mark.parametrize("shape", [(32, 32), (31, 29), (90, 107)])
+@pytest.mark.parametrize("stem", [1, 2])
+def test_unet_shapes(shape, stem):
+    model = UNet(out_channels=1, base_features=8, depth=2, stem=stem)
+    x = jnp.zeros((2,) + shape + (3,))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    y = model.apply({"params": params}, x)
+    assert y.shape == (2,) + shape + (1,)
+    assert y.dtype == jnp.float32
+
+
+def test_unet_stem_matches_deeper_classic_in_bottleneck():
+    # (stem=2, depth=d) has the same level feature plan as (stem=1, depth=d+1)
+    # from the first pooled level on
+    classic = UNet(base_features=16, depth=3, stem=1)
+    stemmed = UNet(base_features=16, depth=2, stem=2)
+    assert classic.level_features()[1:] == stemmed.level_features()
+
+
+@pytest.mark.parametrize("stem", [1, 2])
+def test_unet_grad_flows(stem):
+    model = UNet(out_channels=1, base_features=8, depth=2, stem=stem,
+                 dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 24, 1))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p):
+        return jnp.mean(model.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    norms = [float(jnp.linalg.norm(leaf)) for leaf in jax.tree_util.tree_leaves(g)]
+    assert all(jnp.isfinite(jnp.asarray(norms)))
+    assert max(norms) > 0.0
