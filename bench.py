@@ -50,9 +50,15 @@ def timeit(fn, x0, iters=10):
     t0 = time.perf_counter()
     float(loop(0, x0))
     base = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(loop(iters, x0))
-    return max(time.perf_counter() - t0 - base, 1e-9) / iters
+    while True:
+        t0 = time.perf_counter()
+        float(loop(iters, x0))
+        total = time.perf_counter() - t0
+        # cheap ops need enough device iterations that the ~25 ms scalar
+        # pull latency (and its jitter) can't dominate the measurement
+        if total - base >= 4.0 * base or iters >= 10000:
+            return max(total - base, 1e-9) / iters
+        iters *= 8
 
 
 def main(argv=None):
@@ -62,7 +68,8 @@ def main(argv=None):
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--platform", default=None)
     p.add_argument("--all", action="store_true", help="also run secondary benches")
-    p.add_argument("--bf16", action="store_true", help="bfloat16 network compute")
+    p.add_argument("--dtype", choices=["preset", "f32", "bf16"], default="preset",
+                   help="network compute dtype (default: the preset's, bf16)")
     args = p.parse_args(argv)
 
     import jax
@@ -83,7 +90,13 @@ def main(argv=None):
             config.geometry, image_size=args.image_size, n_angles=360, sparsity=4
         ),
         model=dataclasses.replace(
-            config.model, n_iters=args.n_iters, use_bfloat16=args.bf16
+            config.model,
+            n_iters=args.n_iters,
+            **(
+                {}
+                if args.dtype == "preset"
+                else {"use_bfloat16": args.dtype == "bf16"}
+            ),
         ),
         train=dataclasses.replace(config.train, batch_size=args.batch),
     )
@@ -113,7 +126,7 @@ def main(argv=None):
 
         details = {"primary": result, "config": {"batch": args.batch,
                    "n_iters": args.n_iters, "image_size": args.image_size,
-                   "bf16": args.bf16}}
+                   "dtype": args.dtype}}
         _, sparse_geom = build_geometries(config.geometry)
         ops = make_parallel_ops(sparse_geom)
         img = batch["image"]

@@ -22,7 +22,8 @@ def sino_unet_parallel() -> ExperimentConfig:
     return ExperimentConfig(
         name="sino_unet_parallel",
         geometry=GeometryConfig(kind="parallel", image_size=256, n_angles=360, sparsity=4),
-        model=ModelConfig(kind="sino_unet", base_features=64, depth=4),
+        model=ModelConfig(kind="sino_unet", base_features=64, depth=3, stem=2,
+                          use_bfloat16=True),
         train=TrainConfig(sino_loss_weight=1.0, img_loss_weight=1.0),
     )
 
@@ -31,7 +32,8 @@ def fbp_unet_parallel() -> ExperimentConfig:
     return ExperimentConfig(
         name="fbp_unet_parallel",
         geometry=GeometryConfig(kind="parallel", image_size=256, n_angles=360, sparsity=4),
-        model=ModelConfig(kind="fbp_unet", base_features=64, depth=4),
+        model=ModelConfig(kind="fbp_unet", base_features=64, depth=3, stem=2,
+                          use_bfloat16=True),
         train=TrainConfig(),
     )
 
@@ -40,7 +42,8 @@ def pdunet_parallel() -> ExperimentConfig:
     return ExperimentConfig(
         name="pdunet_parallel",
         geometry=GeometryConfig(kind="parallel", image_size=256, n_angles=360, sparsity=4),
-        model=ModelConfig(kind="pdunet", base_features=32, depth=3, n_iters=4),
+        model=ModelConfig(kind="pdunet", base_features=32, depth=2, stem=2,
+                          n_iters=4, use_bfloat16=True),
         train=TrainConfig(batch_size=4),
     )
 
@@ -55,7 +58,8 @@ def pdunet_fan() -> ExperimentConfig:
             sparsity=4,
             angular_coverage=0.75,       # limited-angle variant
         ),
-        model=ModelConfig(kind="pdunet", base_features=32, depth=3, n_iters=4),
+        model=ModelConfig(kind="pdunet", base_features=32, depth=2, stem=2,
+                          n_iters=4, use_bfloat16=True),
         train=TrainConfig(batch_size=4, photons_per_ray=1e5),  # low-dose noise
     )
 
@@ -64,7 +68,8 @@ def pdunet_radial() -> ExperimentConfig:
     return ExperimentConfig(
         name="pdunet_radial",
         geometry=GeometryConfig(kind="radial", image_size=256, n_angles=512, sparsity=4),
-        model=ModelConfig(kind="pdunet", base_features=32, depth=3, n_iters=4),
+        model=ModelConfig(kind="pdunet", base_features=32, depth=2, stem=2,
+                          n_iters=4, use_bfloat16=True),
         train=TrainConfig(batch_size=4),
     )
 
