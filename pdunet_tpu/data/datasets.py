@@ -15,6 +15,13 @@ The reference reads medical-image slices from per-branch dataset classes
 Layout: one HDF5 file, dataset ``slices`` of shape (n, N, N) float32
 (+ optional ``phase`` for complex MRI), attribute ``splits`` storing the
 (train, val, test) counts. Slices are stored contiguously per split.
+
+An optional ``domain`` attribute declares the pixel units. ``"density"``
+(default) is the O(1) relative-attenuation scale every task trains in;
+``"hu"`` marks CT data in Hounsfield units (the reference's CT datasets,
+SURVEY.md §2b C4/C12), which ``SliceDataset`` converts on read to relative
+attenuation μ/μ_water = 1 + HU/1000 (water→1, air→0) so file-backed HU
+volumes drop into the same training/eval paths as phantom densities.
 """
 
 from __future__ import annotations
@@ -48,6 +55,9 @@ class SliceDataset:
         self._start = starts[i]
         self._count = counts[i]
         self._complex = "phase" in self._file
+        self._domain = str(self._file.attrs.get("domain", "density"))
+        if self._domain not in ("density", "hu"):
+            raise ValueError(f"unknown slice domain {self._domain!r}")
 
     def __len__(self) -> int:
         return self._count
@@ -60,10 +70,16 @@ class SliceDataset:
     def is_complex(self) -> bool:
         return self._complex
 
+    @property
+    def domain(self) -> str:
+        return self._domain
+
     def __getitem__(self, idx: int) -> np.ndarray:
         if not 0 <= idx < self._count:
             raise IndexError(idx)
         mag = np.asarray(self._slices[self._start + idx], np.float32)
+        if self._domain == "hu":
+            mag = 1.0 + mag / 1000.0  # HU → relative attenuation μ/μ_water
         if self._complex:
             phase = np.asarray(self._file["phase"][self._start + idx], np.float32)
             return (mag * np.exp(1j * phase)).astype(np.complex64)
@@ -118,11 +134,16 @@ def write_phantom_dataset(
     return path
 
 
-def convert_volume(volume: np.ndarray, out_path: str, axis: int = 0, **kw) -> str:
+def convert_volume(volume: np.ndarray, out_path: str, axis: int = 0,
+                   domain: str = "density", **kw) -> str:
     """Slice a 3D volume (e.g. loaded from NIfTI elsewhere) into the HDF5
-    layout. Normalization/windowing is the caller's business."""
+    layout. ``domain="hu"`` marks CT Hounsfield data; ``SliceDataset``
+    converts it to relative attenuation on read. Other normalization /
+    windowing is the caller's business."""
     import h5py
 
+    if domain not in ("density", "hu"):
+        raise ValueError(f"unknown slice domain {domain!r}")
     vol = np.moveaxis(np.asarray(volume, np.float32), axis, 0)
     with h5py.File(out_path, "w") as f:
         f.create_dataset("slices", data=vol)
@@ -130,6 +151,7 @@ def convert_volume(volume: np.ndarray, out_path: str, axis: int = 0, **kw) -> st
         n_train = int(round(kw.get("train_frac", 0.8) * n))
         n_val = int(round(kw.get("val_frac", 0.1) * n))
         f.attrs["splits"] = (n_train, n_val, n - n_train - n_val)
+        f.attrs["domain"] = domain
     return out_path
 
 

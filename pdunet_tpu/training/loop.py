@@ -61,7 +61,18 @@ def build_state(task: Task, params=None, init_key=None, n_steps=None):
     )
 
 
-def make_train_step(task: Task, donate: bool = True, from_images: bool = False):
+#: checkify error set for the sanitizer mode (SURVEY.md §5.2): NaN/Inf in
+#: any intermediate plus out-of-bounds indexing inside ops. The reference
+#: stack has no analogue (single-stream CUDA via torch); this is the
+#: functional-JAX equivalent of running under a sanitizer.
+def _checkify_errors():
+    from jax.experimental import checkify
+
+    return checkify.index_checks | checkify.float_checks
+
+
+def make_train_step(task: Task, donate: bool = True, from_images: bool = False,
+                    checked: bool = False):
     """Build the single jitted train step.
 
     Synthetic mode: (state, key) → (state, metrics) — the batch is
@@ -70,6 +81,9 @@ def make_train_step(task: Task, donate: bool = True, from_images: bool = False):
     ``images`` are host-loaded ground-truth slices and the task's
     measurement synthesis + training corruption run inside the jit
     (SURVEY.md §3.1: the DataLoader-worker boundary carries only images).
+    ``checked``: wrap the step in ``checkify`` (NaN/Inf + index bounds);
+    the returned fn then yields ``(err, (state, metrics))`` and the caller
+    must ``err.throw()``.
     """
 
     def _update(state, batch):
@@ -88,6 +102,13 @@ def make_train_step(task: Task, donate: bool = True, from_images: bool = False):
         def step(state, key):
             return _update(state, task.make_batch(key))
 
+    if checked:
+        from jax.experimental import checkify
+
+        step = checkify.checkify(step, errors=_checkify_errors())
+        # donation is off in checked mode: checkify's error-state plumbing
+        # aliases inputs in ways that fight buffer donation
+        return jax.jit(step)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -113,6 +134,7 @@ def train(
     tb_dir: Optional[str] = None,
     data: Optional[str] = None,
     split: str = "train",
+    checked: bool = False,
 ) -> TrainResult:
     """Train one experiment preset end-to-end.
 
@@ -125,6 +147,8 @@ def train(
     (host prefetch thread feeds image batches; measurement synthesis + the
     task's training corruption run inside the jitted step). Validation uses
     the dataset's ``val`` split, noiselessly.
+    ``checked``: run the step under ``checkify`` (NaN/Inf + index-bounds
+    sanitizer, SURVEY.md §5.2); raises on the step where a check fires.
     """
     tc = config.train
     n_steps = tc.steps if steps is None else steps
@@ -229,11 +253,13 @@ def train(
 
     from_images = prefetcher is not None
     if mesh is not None:
+        if checked:
+            raise ValueError("checked mode is single-device (debug tool)")
         from pdunet_tpu.parallel import make_sharded_train_step
 
         step_fn = make_sharded_train_step(task, mesh, from_images=from_images)
     else:
-        step_fn = make_train_step(task, from_images=from_images)
+        step_fn = make_train_step(task, from_images=from_images, checked=checked)
     eval_fn = make_eval_step(task)
     if from_images:
         val_batch = task.batch_from_images(val_images)  # noiseless eval
@@ -263,9 +289,13 @@ def train(
         else:
             step_key = jax.random.fold_in(data_key, i)
         if from_images:
-            state, metrics = step_fn(state, step_key, next(prefetcher))
+            out = step_fn(state, step_key, next(prefetcher))
         else:
-            state, metrics = step_fn(state, step_key)
+            out = step_fn(state, step_key)
+        if checked:
+            err, out = out
+            err.throw()  # surfaces the failing check with its step context
+        state, metrics = out
 
         if (i + 1) % tc.log_every == 0 or i == n_steps - 1:
             m = {k: float(v) for k, v in metrics.items()}

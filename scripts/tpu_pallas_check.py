@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""One-shot on-TPU Pallas-vs-einsum equivalence check (SURVEY.md §4.2 tier 4).
+
+CI validates every Pallas kernel against its jnp twin in *interpreter* mode
+(CPU); this script closes the remaining gap by running the compiled kernels
+on the real chip and recording the max deviations as a JSON artifact
+(``runs/tpu_pallas_check.json``). Run with exclusive TPU access:
+
+    python scripts/tpu_pallas_check.py
+
+Checks, at both f32 and bf16 operand precision:
+  * forward projection: Pallas vs einsum twin on the same plan
+  * backprojection (adjoint): Pallas vs einsum twin
+  * adjoint dot-product <Af, p> == <f, A'p> through the Pallas path
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pdunet_tpu.geometry import ParallelGeometry, build_parallel_plan
+    from pdunet_tpu.ops.radon.parallel import (
+        parallel_backproject,
+        parallel_project,
+    )
+    from pdunet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    backend = jax.default_backend()
+    geom = ParallelGeometry(image_size=128, n_angles=96)
+    key = jax.random.PRNGKey(0)
+    kf, kp = jax.random.split(key)
+    f = jax.random.normal(kf, (4, 128, 128), jnp.float32)
+    A, S = geom.n_angles, geom.det_count
+    p = jax.random.normal(kp, (4, A, S), jnp.float32)
+
+    report = {"backend": backend, "checks": {}}
+    ok = True
+    for dtype in ("float32", "bfloat16"):
+        plan = build_parallel_plan(geom, dtype=getattr(jnp, dtype))
+        fwd = {
+            impl: jax.jit(
+                lambda x, i=impl: parallel_project(plan, x, impl=i)
+            )(f)
+            for impl in ("pallas", "einsum")
+        }
+        adj = {
+            impl: jax.jit(
+                lambda y, i=impl: parallel_backproject(plan, y, impl=i)
+            )(p)
+            for impl in ("pallas", "einsum")
+        }
+        scale_f = float(jnp.max(jnp.abs(fwd["einsum"])))
+        scale_a = float(jnp.max(jnp.abs(adj["einsum"])))
+        rel_f = float(jnp.max(jnp.abs(fwd["pallas"] - fwd["einsum"]))) / scale_f
+        rel_a = float(jnp.max(jnp.abs(adj["pallas"] - adj["einsum"]))) / scale_a
+        lhs = float(jnp.vdot(fwd["pallas"], p))
+        rhs = float(jnp.vdot(f, adj["pallas"]))
+        rel_dot = abs(lhs - rhs) / max(abs(lhs), 1e-12)
+        # bf16 operands → ~1e-2 relative; f32 → ~1e-5 (matmul reassociation)
+        tol = 3e-2 if dtype == "bfloat16" else 1e-4
+        entry = {
+            "fwd_rel_max": rel_f,
+            "adj_rel_max": rel_a,
+            "adjoint_dot_rel": rel_dot,
+            "tol": tol,
+            "pass": rel_f < tol and rel_a < tol and rel_dot < tol,
+        }
+        report["checks"][dtype] = entry
+        ok &= entry["pass"]
+        print(f"[{dtype}] fwd {rel_f:.2e}  adj {rel_a:.2e}  dot {rel_dot:.2e}"
+              f"  -> {'PASS' if entry['pass'] else 'FAIL'}")
+
+    report["ok"] = ok
+    out = pathlib.Path(__file__).resolve().parents[1] / "runs" / "tpu_pallas_check.json"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(report, indent=2) + "\n")
+    print(f"wrote {out} (ok={ok})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

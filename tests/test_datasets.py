@@ -48,6 +48,24 @@ def test_complex_dataset(tmp_path):
     assert ds[0].dtype == np.complex64
 
 
+def test_hu_domain_converts_on_read(tmp_path):
+    """CT volumes ingested in Hounsfield units come back as relative
+    attenuation (water→1, air→0), matching the scale every task trains in
+    (SURVEY.md §2b C4 HU↔μ conversion)."""
+    from pdunet_tpu.data.datasets import convert_volume
+
+    hu = np.stack([np.full((16, 16), v, np.float32) for v in (-1000, 0, 400)])
+    path = convert_volume(hu, str(tmp_path / "hu.h5"), domain="hu",
+                          train_frac=1.0, val_frac=0.0)
+    ds = SliceDataset(path, split="train")
+    assert ds.domain == "hu"
+    np.testing.assert_allclose(ds[0], 0.0, atol=1e-6)   # air
+    np.testing.assert_allclose(ds[1], 1.0, atol=1e-6)   # water
+    np.testing.assert_allclose(ds[2], 1.4, atol=1e-6)   # soft tissue/bone-ish
+    with pytest.raises(ValueError):
+        convert_volume(hu, str(tmp_path / "bad.h5"), domain="parsecs")
+
+
 def test_out_of_range(h5path):
     ds = SliceDataset(h5path, split="val")
     with pytest.raises(IndexError):

@@ -21,16 +21,23 @@ GOLDEN_PATH = pathlib.Path(__file__).with_name("goldens.json")
 TOL_DB = 0.6          # float nondeterminism headroom across XLA versions
 TOL_SSIM = 0.02
 
-PRESETS = ["fbp_unet_parallel", "pdunet_parallel"]
+PRESETS = [
+    "fbp_unet_parallel",
+    "sino_unet_parallel",
+    "pdunet_parallel",
+    "pdunet_fan",
+    "pdunet_radial",
+]
 
 
 def golden_config(preset):
     config = get_preset(preset)
+    geom_kw = {"image_size": 32, "n_angles": 40, "sparsity": 4}
+    if preset == "pdunet_radial":
+        geom_kw["samples_per_spoke"] = 48
     return dataclasses.replace(
         config,
-        geometry=dataclasses.replace(
-            config.geometry, image_size=32, n_angles=40, sparsity=4
-        ),
+        geometry=dataclasses.replace(config.geometry, **geom_kw),
         model=dataclasses.replace(
             config.model, base_features=8, depth=2 if preset.startswith("fbp") else 1,
             n_iters=2,

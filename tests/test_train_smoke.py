@@ -32,9 +32,17 @@ def tiny(config, **model_kw):
 
 
 # sino_unet's loss includes the image term through FBP, which floors higher
-# on a 32² toy problem — hence the looser drop requirement.
+# on a 32² toy problem — hence the looser drop requirement. Together with
+# test_primal_dual.test_overfit_tiny (pdunet/lpd) and
+# test_radial_task.test_radial_pdunet_overfits this covers all five presets
+# (SURVEY.md §4.2 tier 5 "each of the 5 configs").
 @pytest.mark.parametrize(
-    "preset,drop", [("fbp_unet_parallel", 0.5), ("sino_unet_parallel", 0.7)]
+    "preset,drop",
+    [
+        ("fbp_unet_parallel", 0.5),
+        ("sino_unet_parallel", 0.7),
+        ("pdunet_fan", 0.7),  # low-dose noise + limited angle: noisier floor
+    ],
 )
 def test_overfit_tiny_batch(preset, drop):
     config = tiny(get_preset(preset))
@@ -105,6 +113,41 @@ def test_file_backed_complex_radial(tmp_path):
     result = train(config, data=path, verbose=False)
     assert len(result.history) >= 2
     assert all(h["loss"] > 0 for h in result.history)
+
+
+def test_checkify_step_clean_and_catches_nan():
+    """The checkify sanitizer path (SURVEY.md §5.2): a healthy step runs
+    clean under float+index checks, and a poisoned batch (NaN ground truth)
+    is caught with a thrown JaxRuntimeError instead of silently training."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import checkify
+
+    from pdunet_tpu.training.loop import build_state, make_train_step
+    from pdunet_tpu.training.tasks import build_task
+
+    config = tiny(get_preset("fbp_unet_parallel"))
+    config = dataclasses.replace(
+        config, train=dataclasses.replace(config.train, steps=2)
+    )
+    task = build_task(config)
+    state = build_state(task)
+    step = make_train_step(task, donate=False, checked=True)
+    err, (state, metrics) = step(state, jax.random.PRNGKey(0))
+    err.throw()  # no check fires on healthy data
+    assert jnp.isfinite(metrics["loss"])
+
+    def poisoned(params):
+        batch = task.make_batch(jax.random.PRNGKey(0))
+        batch = dict(batch, image=jnp.full_like(batch["image"], jnp.nan))
+        return task.loss_fn(params, batch)[0]
+
+    checked_loss = checkify.checkify(
+        poisoned, errors=checkify.float_checks
+    )
+    err, _ = jax.jit(checked_loss)(state.params)
+    with pytest.raises(Exception, match="nan"):
+        err.throw()
 
 
 def test_best_checkpoint_survives_rotation(tmp_path):

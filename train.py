@@ -40,6 +40,9 @@ def parse_args(argv=None):
                    help="capture a jax.profiler trace of steps 10-15 here")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN; slow)")
+    p.add_argument("--checkify", action="store_true",
+                   help="run the train step under checkify (NaN/Inf + "
+                        "index-bounds sanitizer; single-device, slow)")
     p.add_argument("--tb-dir", default=None,
                    help="TensorBoard log directory (clu metric_writers)")
     p.add_argument("--dump-config", action="store_true",
@@ -101,6 +104,7 @@ def main(argv=None):
         config, steps=args.steps, metrics_path=args.metrics, verbose=True,
         n_devices=args.devices, profile_dir=args.profile_dir,
         tb_dir=args.tb_dir, data=args.data, split=args.split,
+        checked=args.checkify,
     )
     print(f"[done] final eval: {result.final_eval}")
     return 0
