@@ -6,6 +6,10 @@
 3. pdunet_parallel    — Primal-Dual UNet, parallel-beam sparse-view CT.
 4. pdunet_fan         — Primal-Dual UNet, fan-beam low-dose + limited-angle.
 5. pdunet_radial      — Primal-Dual UNet, golden-angle radial MRI (complex).
+
+Plus the Learned Primal-Dual baseline (SURVEY.md §2b C6, the Adler-Öktem
+method PD-UNet extends) on the parallel sparse-view geometry:
+``lpd_parallel``.
 """
 
 from __future__ import annotations
@@ -77,12 +81,26 @@ def pdunet_radial() -> ExperimentConfig:
     )
 
 
+def lpd_parallel() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="lpd_parallel",
+        geometry=GeometryConfig(kind="parallel", image_size=256, n_angles=360, sparsity=4),
+        # Adler-Öktem 2018 defaults: 10 unrolled PDHG iterations, small
+        # 32-filter primal/dual conv nets, 5-channel memory
+        model=ModelConfig(kind="lpd", n_iters=10, lpd_features=32,
+                          primal_channels=5, dual_channels=5,
+                          use_bfloat16=True),
+        train=TrainConfig(batch_size=4),
+    )
+
+
 PRESETS = {
     "sino_unet_parallel": sino_unet_parallel,
     "fbp_unet_parallel": fbp_unet_parallel,
     "pdunet_parallel": pdunet_parallel,
     "pdunet_fan": pdunet_fan,
     "pdunet_radial": pdunet_radial,
+    "lpd_parallel": lpd_parallel,
 }
 
 

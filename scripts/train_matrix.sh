@@ -16,12 +16,14 @@ declare -A STEPS=(
   [sino_unet_parallel]=4000
   [pdunet_fan]=5000
   [pdunet_radial]=6000
+  [lpd_parallel]=5000
 )
 
 mkdir -p runs
 for p in "${PRESETS[@]}"; do
-  echo "=== [$(date +%H:%M:%S)] train $p (${STEPS[$p]} steps)"
-  timeout 14400 python train.py --preset "$p" --steps "${STEPS[$p]}" \
+  steps="${STEPS[$p]:-5000}"
+  echo "=== [$(date +%H:%M:%S)] train $p ($steps steps)"
+  timeout 14400 python train.py --preset "$p" --steps "$steps" \
     --ckpt-dir "runs/$p" --metrics "runs/$p.jsonl" --resume auto \
     || { echo "TRAIN FAILED: $p"; continue; }
   echo "=== [$(date +%H:%M:%S)] infer $p (best ckpt, noiseless)"
