@@ -119,9 +119,13 @@ def write_phantom_dataset(
             else None
         )
         for i in range(n_slices):
-            # native multithreaded rasterizer when built; NumPy fallback
+            # native multithreaded rasterizer when built; NumPy fallback.
+            # Complex (MRI) datasets store nonneg magnitudes — see
+            # data/synth.py sample_ellipse_params on why signed densities
+            # are wrong for the |image| target.
             ds[i] = native.rasterize_ellipses(
-                random_ellipses(rng, n_ellipses, radius), image_size
+                random_ellipses(rng, n_ellipses, radius, nonneg=complex_phase),
+                image_size,
             )
             if ph is not None:
                 ax = np.linspace(-1, 1, image_size)

@@ -52,10 +52,14 @@ def shepp_logan_ellipses(radius: float) -> np.ndarray:
 
 
 def random_ellipses(
-    rng: np.random.Generator, n: int, radius: float, min_axis_frac: float = 0.05
+    rng: np.random.Generator, n: int, radius: float, min_axis_frac: float = 0.05,
+    nonneg: bool = False,
 ) -> np.ndarray:
-    """Random ellipse phantom parameters inside a disk of ``radius``."""
-    rho = rng.uniform(-1.0, 1.0, n)
+    """Random ellipse phantom parameters inside a disk of ``radius``.
+
+    ``nonneg=True``: intensities in [0.1, 1] (MRI magnitude regime; see
+    data/synth.py sample_ellipse_params)."""
+    rho = rng.uniform(0.1 if nonneg else -1.0, 1.0, n)
     a = rng.uniform(min_axis_frac, 0.5, n) * radius
     b = rng.uniform(min_axis_frac, 0.5, n) * radius
     r0 = rng.uniform(0.0, 0.6, n) * radius

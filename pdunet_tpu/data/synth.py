@@ -15,10 +15,21 @@ import jax.numpy as jnp
 __all__ = ["sample_ellipse_params", "rasterize_jnp", "random_phantom_batch"]
 
 
-def sample_ellipse_params(key: jax.Array, n_ellipses: int, radius: float) -> jnp.ndarray:
-    """Sample (n_ellipses, 6) ellipse params [rho, a, b, x0, y0, phi]."""
+def sample_ellipse_params(
+    key: jax.Array, n_ellipses: int, radius: float, nonneg: bool = False
+) -> jnp.ndarray:
+    """Sample (n_ellipses, 6) ellipse params [rho, a, b, x0, y0, phi].
+
+    ``nonneg=True`` draws intensities from [0.1, 1.0] instead of [-1, 1] —
+    the MRI-magnitude regime, where a signed density would make |image| an
+    ill-posed target and an unlucky all-negative draw yields a zero image
+    (which breaks peak-normalized PSNR).
+    """
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-    rho = jax.random.uniform(k1, (n_ellipses,), minval=-1.0, maxval=1.0)
+    rho = jax.random.uniform(
+        k1, (n_ellipses,),
+        minval=0.1 if nonneg else -1.0, maxval=1.0,
+    )
     a = jax.random.uniform(k2, (n_ellipses,), minval=0.08, maxval=0.5) * radius
     b = jax.random.uniform(k3, (n_ellipses,), minval=0.08, maxval=0.5) * radius
     r0 = jax.random.uniform(k4, (n_ellipses,), minval=0.0, maxval=0.6) * radius
@@ -56,13 +67,14 @@ def random_phantom_batch(
     n_ellipses: int = 8,
     pixel_spacing: float = 1.0,
     supersample: int = 2,
+    nonneg: bool = False,
 ) -> jnp.ndarray:
     """Batch of random ellipse phantoms (B, N, N), fully on device."""
     radius = 0.45 * image_size * pixel_spacing
 
     def one(k):
         return rasterize_jnp(
-            sample_ellipse_params(k, n_ellipses, radius),
+            sample_ellipse_params(k, n_ellipses, radius, nonneg=nonneg),
             image_size,
             pixel_spacing,
             supersample,

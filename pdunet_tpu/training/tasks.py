@@ -282,13 +282,18 @@ def build_task(config: ExperimentConfig) -> Task:
         if is_complex:
             # complex-valued MRI data (BASELINE config 5): magnitude phantom
             # with a smooth random phase field (low-order spatial harmonics).
-            # The magnitude must be nonnegative: signed ellipse densities make
-            # |pred| vs gt an impossible target wherever overlaps go negative
-            # (round-1 17±7.6 dB pathology; nonneg clamp restores 33+ dB in
-            # the A/B diagnostics).
+            # The magnitude is sampled nonnegative (nonneg ellipse
+            # intensities): signed densities make |pred| vs gt an impossible
+            # target wherever overlaps go negative (round-1 17±7.6 dB
+            # pathology; nonneg restores 33+ dB in the A/B diagnostics), and
+            # an unlucky all-negative draw would clamp to a zero image whose
+            # peak-normalized PSNR is -inf.
             def make_batch(key):
                 k1, k2 = jax.random.split(key)
-                mag = jnp.maximum(phantoms(k1), 0.0)
+                mag = random_phantom_batch(
+                    k1, B, N, n_ellipses=tc.n_ellipses,
+                    pixel_spacing=gc.pixel_spacing, nonneg=True,
+                )
                 coeffs = jax.random.uniform(
                     k2, (B, 4), minval=-jnp.pi, maxval=jnp.pi
                 )
