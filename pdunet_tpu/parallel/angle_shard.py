@@ -50,7 +50,7 @@ def _padded(arr: jnp.ndarray, n_shards: int) -> jnp.ndarray:
 
 
 def _project_group_sharded(
-    f, pos, shift, spec, Wc, Ws, L, contract_x, mesh, axis
+    f, pos, shift, spec, Wc, Ws, L, contract_x, mesh, axis, batch_axis=None
 ):
     n_shards = mesh.shape[axis]
     A_g = pos.shape[0]
@@ -58,8 +58,9 @@ def _project_group_sharded(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis, None), P(), P(), P()),
-        out_specs=P(None, axis, None),
+        in_specs=(P(batch_axis, None, None), P(axis, None), P(axis, None),
+                  P(), P(), P()),
+        out_specs=P(batch_axis, axis, None),
     )
     def fwd(f, pos, shift, spec, Wc, Ws):
         return _project_group(f, pos, shift, spec, Wc, Ws, L, contract_x)
@@ -69,18 +70,21 @@ def _project_group_sharded(
 
 
 def _backproject_group_sharded(
-    p, pos, shift, spec, Wc, Ws, L, contract_x, mesh, axis
+    p, pos, shift, spec, Wc, Ws, L, contract_x, mesh, axis, batch_axis=None
 ):
     n_shards = mesh.shape[axis]
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(axis, None), P(axis, None), P(), P(), P()),
-        out_specs=P(),
+        in_specs=(P(batch_axis, axis, None), P(axis, None), P(axis, None),
+                  P(), P(), P()),
+        out_specs=P(batch_axis, None, None),
     )
     def adj(p, pos, shift, spec, Wc, Ws):
         partial_img = _backproject_group(p, pos, shift, spec, Wc, Ws, L, contract_x)
+        # reduce only over the angle axis; the batch axis (if any) stays
+        # sharded — this is the 2-D data x angle composition
         return jax.lax.psum(partial_img, axis)
 
     pad = (-p.shape[1]) % n_shards
@@ -92,31 +96,36 @@ def _backproject_group_sharded(
 
 
 def angle_sharded_project(
-    plan: ParallelPlan, image: jnp.ndarray, mesh: Mesh, axis: str = "angle"
+    plan: ParallelPlan, image: jnp.ndarray, mesh: Mesh, axis: str = "angle",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Forward projection with angles sharded over ``axis``: no collectives
     (angle-separable). Both angle groups shard; outputs reassemble through
-    the plan's inverse permutation."""
+    the plan's inverse permutation. ``batch_axis`` additionally shards the
+    leading image/batch dim over that mesh axis (2-D data x angle mesh)."""
     meta = plan.meta
     L = meta["S_ext"]
     parts = []
     if meta["A_x"]:
         parts.append(_project_group_sharded(
             image, plan.pos_x, plan.shift_x, plan.spec, plan.Wc, plan.Ws,
-            L, True, mesh, axis))
+            L, True, mesh, axis, batch_axis))
     if meta["A_y"]:
         parts.append(_project_group_sharded(
             image, plan.pos_y, plan.shift_y, plan.spec, plan.Wc, plan.Ws,
-            L, False, mesh, axis))
+            L, False, mesh, axis, batch_axis))
     p = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     return jnp.take(p, jnp.asarray(meta["inv_perm"]), axis=1)
 
 
 def angle_sharded_backproject(
-    plan: ParallelPlan, sino: jnp.ndarray, mesh: Mesh, axis: str = "angle"
+    plan: ParallelPlan, sino: jnp.ndarray, mesh: Mesh, axis: str = "angle",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Adjoint with angles sharded: per-shard partial backprojection then a
-    ``psum`` over the angle axis (the ICI all-reduce), per group."""
+    ``psum`` over the angle axis (the ICI all-reduce), per group. With
+    ``batch_axis`` the batch dim stays sharded on that axis through the
+    reduction (2-D data x angle mesh)."""
     meta = plan.meta
     L = meta["S_ext"]
     f = None
@@ -124,19 +133,19 @@ def angle_sharded_backproject(
         px = jnp.take(sino, jnp.asarray(meta["idx_x"]), axis=1)
         f = _backproject_group_sharded(
             px, plan.pos_x, plan.shift_x, plan.spec, plan.Wc, plan.Ws,
-            L, True, mesh, axis)
+            L, True, mesh, axis, batch_axis)
     if meta["A_y"]:
         py = jnp.take(sino, jnp.asarray(meta["idx_y"]), axis=1)
         fy = _backproject_group_sharded(
             py, plan.pos_y, plan.shift_y, plan.spec, plan.Wc, plan.Ws,
-            L, False, mesh, axis)
+            L, False, mesh, axis, batch_axis)
         f = fy if f is None else f + fy
     return f
 
 
 def angle_sharded_fbp(
     plan: ParallelPlan, sino: jnp.ndarray, mesh: Mesh, axis: str = "angle",
-    filter_name: str = "ramp",
+    filter_name: str = "ramp", batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Filtered backprojection with the backprojection sharded over angles.
 
@@ -152,4 +161,5 @@ def angle_sharded_fbp(
         math.pi / len(geom.angles) * geom.det_spacing / (geom.pixel_spacing ** 2)
     )
     filtered = filter_sinogram(sino, geom.det_spacing, filter_name)
-    return bp_scale * angle_sharded_backproject(plan, filtered, mesh, axis)
+    return bp_scale * angle_sharded_backproject(
+        plan, filtered, mesh, axis, batch_axis)

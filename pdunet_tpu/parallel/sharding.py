@@ -20,16 +20,26 @@ __all__ = ["make_mesh", "replicate", "shard_batch_spec", "make_sharded_train_ste
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, axes: Sequence[str] = ("data",)
+    n_devices: Optional[int] = None, axes: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D (default) device mesh over the first ``n_devices`` devices.
+    """Device mesh over the first ``n_devices`` devices.
 
-    Multi-axis shapes put all devices on the first axis and 1 on the rest
+    By default all devices land on the first axis and the rest get size 1
     (the ``angle``/``model`` axes exist for composition, unused by default).
+    Pass ``shape`` for a true multi-axis mesh, e.g.
+    ``make_mesh(8, axes=("data", "angle"), shape=(4, 2))`` to compose batch
+    data-parallelism with angle-axis operator sharding (SURVEY.md §5.7).
     """
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
-    shape = (n,) + (1,) * (len(axes) - 1)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axes) - 1)
+    else:
+        shape = tuple(shape)
+        if int(np.prod(shape)) != n:
+            raise ValueError(f"mesh shape {shape} needs {np.prod(shape)} "
+                             f"devices, have {n}")
     return Mesh(np.array(devices[:n]).reshape(shape), axes)
 
 

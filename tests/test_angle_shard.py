@@ -86,3 +86,49 @@ def test_sharded_fbp_full_scan(full_plan, mesh):
     out = angle_sharded_fbp(full_plan, sino, mesh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
     assert float(psnr(out, img)[0]) > 15.0  # sane recon, not just self-consistent
+
+
+# --- 2-D data x angle mesh composition (SURVEY.md §2d: batch is the
+# primary scale axis, angle the beyond-HBM axis; they must compose) ---
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from pdunet_tpu.parallel import make_mesh
+
+    return make_mesh(8, axes=("data", "angle"), shape=(4, 2))
+
+
+def test_2d_mesh_forward_matches(full_plan, mesh2d, rng):
+    f = jnp.asarray(rng.standard_normal((4, 32, 32)), jnp.float32)
+    ref = parallel_project(full_plan, f)
+    out = angle_sharded_project(full_plan, f, mesh2d, batch_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_2d_mesh_adjoint_matches(full_plan, mesh2d, rng):
+    p = jnp.asarray(rng.standard_normal((4, 40, 32)), jnp.float32)
+    ref = parallel_backproject(full_plan, p)
+    out = angle_sharded_backproject(full_plan, p, mesh2d, batch_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_2d_mesh_fbp_batch_sharded(full_plan, mesh2d, rng):
+    """FBP on the (4 data x 2 angle) mesh: batch stays sharded across the
+    data axis while the angle psum reduces only over the angle axis."""
+    from pdunet_tpu.ops.radon.parallel import make_parallel_ops
+    from pdunet_tpu.parallel.angle_shard import angle_sharded_fbp
+
+    ops = make_parallel_ops(FULL_GEOM)
+    f = jnp.asarray(rng.standard_normal((4, 32, 32)), jnp.float32)
+    sino = ops.A(f)
+    ref = ops.fbp(sino)
+    out = angle_sharded_fbp(full_plan, sino, mesh2d, batch_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_make_mesh_shape_validation():
+    from pdunet_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="mesh shape"):
+        make_mesh(8, axes=("data", "angle"), shape=(4, 4))
