@@ -81,9 +81,16 @@ def ssim(
     mu_tt = _filter2d(t * t, win)
     mu_pt = _filter2d(p * t, win)
 
-    var_p = mu_pp - mu_p**2
-    var_t = mu_tt - mu_t**2
-    cov = mu_pt - mu_p * mu_t
+    # E[x²]−μ² cancels catastrophically in f32 when |x| ≫ data_range (an
+    # unconverged net can emit O(1e3) values): the error ~μ²·ε can exceed
+    # the C2 stabilizer and push SSIM outside [-1, 1]. True moments always
+    # satisfy var ≥ 0 and |cov| ≤ √(var_p·var_t) (Cauchy-Schwarz), so
+    # clamping to those bounds is exact for healthy numerics and keeps the
+    # index bounded when cancellation hits.
+    var_p = jnp.maximum(mu_pp - mu_p**2, 0.0)
+    var_t = jnp.maximum(mu_tt - mu_t**2, 0.0)
+    cov_cap = jnp.sqrt(var_p * var_t)
+    cov = jnp.clip(mu_pt - mu_p * mu_t, -cov_cap, cov_cap)
 
     c1 = c1[:, None, None]
     c2 = c2[:, None, None]

@@ -81,3 +81,10 @@ def test_metrics_sanity(setup, rng):
     assert float(ssim(img, img)) > 0.999
     assert float(psnr(noisy, img)) < float(psnr(img, img))
     assert 0.0 < float(ssim(noisy, img)) < 1.0
+    # SSIM must stay in [-1, 1] even for wildly out-of-range predictions,
+    # where the E[x^2]-mu^2 f32 cancellation error exceeds the C2
+    # stabilizer (seen as SSIM=1.17 on unconverged radial evals)
+    wild = 1e3 * jnp.asarray(rng.standard_normal(img.shape), jnp.float32)
+    s = float(ssim(wild, img))
+    assert -1.0 <= s <= 1.0, s
+    assert s < 0.5  # and it should score badly, not near-perfect
