@@ -43,7 +43,13 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _filter2d(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Valid-mode 2D correlation of (B, H, W) with (k, k)."""
+    """Valid-mode 2D correlation of (B, H, W) with (k, k).
+
+    Precision is pinned to HIGHEST: TPU convolutions default to bf16
+    passes, whose ~2⁻⁸ relative error on the moment maps dwarfs SSIM's C2
+    stabilizer and corrupts the index (observed as SSIM swinging between
+    -0.5 and 0.95 on ~49 dB reconstructions). Metrics must be exact.
+    """
     k = win.shape[0]
     return lax.conv_general_dilated(
         x[:, None],
@@ -51,6 +57,7 @@ def _filter2d(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
         window_strides=(1, 1),
         padding=((0, 0), (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
     )[:, 0]
 
 
