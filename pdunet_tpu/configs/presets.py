@@ -81,6 +81,21 @@ def pdunet_radial() -> ExperimentConfig:
     )
 
 
+def sino_unet_radial() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="sino_unet_radial",
+        # spoke-domain upsampling (the paper's sinogram-upsampling method
+        # applied to its radial-MRI modality): complex golden-angle spokes,
+        # UNet on the (spoke x sample, Re/Im) grid. stem=1 for the same
+        # reason as sino_unet_parallel: the per-spoke-row signal must not
+        # be patch-mixed.
+        geometry=GeometryConfig(kind="radial", image_size=256, n_angles=512, sparsity=4),
+        model=ModelConfig(kind="sino_unet", base_features=64, depth=4, stem=1,
+                          use_bfloat16=True),
+        train=TrainConfig(batch_size=4, sino_loss_weight=1.0, img_loss_weight=1.0),
+    )
+
+
 def lpd_parallel() -> ExperimentConfig:
     return ExperimentConfig(
         name="lpd_parallel",
@@ -100,6 +115,7 @@ PRESETS = {
     "pdunet_parallel": pdunet_parallel,
     "pdunet_fan": pdunet_fan,
     "pdunet_radial": pdunet_radial,
+    "sino_unet_radial": sino_unet_radial,
     "lpd_parallel": lpd_parallel,
 }
 

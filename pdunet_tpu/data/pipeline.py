@@ -18,6 +18,7 @@ import jax.numpy as jnp
 __all__ = [
     "subsample_angles",
     "interp_upsample_angles",
+    "interp_upsample_spokes",
     "lowdose_poisson_noise",
     "mu_to_hu",
     "hu_to_mu",
@@ -97,3 +98,73 @@ def normalize_ct_window(
     """Window a HU image into [0, 1] (display/loss normalization)."""
     lo = center - width / 2.0
     return jnp.clip((img - lo) / width, 0.0, 1.0)
+
+
+def interp_upsample_spokes(
+    sparse: jnp.ndarray,
+    sparse_angles: tuple,
+    dense_angles: tuple,
+) -> jnp.ndarray:
+    """Angular interpolation of radial k-space spokes onto a denser spoke
+    set — the radial-MRI analogue of :func:`interp_upsample_angles`
+    (the paper's "sinogram upsampling ... for undersampled CT *and radial
+    MRI*"; SURVEY.md §2b C4, §3.3).
+
+    Golden-angle undersampling keeps a *prefix* of the spoke sequence
+    (geometry.py RadialGeometry.subsample), so the missing spokes interleave
+    the kept ones in angle rather than in index. Each target spoke is the
+    angular-linear blend of its two bracketing source spokes after reducing
+    every angle mod π, where a spoke at θ+π is the sample-reversed spoke at
+    θ (its readout traverses the same k-space diameter backwards). Source
+    spokes whose angle matches a target exactly (the shared prefix) pass
+    through unchanged.
+
+    All neighbor indices/weights/flip parities are computed statically from
+    the angle tuples (host numpy at trace time); the on-device work is two
+    small spoke-axis gathers + a lerp, jit-safe with static shapes.
+
+    Args: sparse (..., A_s, S) complex; returns (..., A_d, S).
+    """
+    import numpy as np
+
+    phi_s = np.asarray(sparse_angles) % (2.0 * np.pi)
+    phi_d = np.asarray(dense_angles) % (2.0 * np.pi)
+    flip_s = phi_s >= np.pi
+    flip_d = phi_d >= np.pi
+    red_s = phi_s % np.pi
+    red_d = phi_d % np.pi
+
+    order = np.argsort(red_s, kind="stable")
+    grid = red_s[order]
+    n_s = len(grid)
+
+    pos = np.searchsorted(grid, red_d)            # right neighbor position
+    left = (pos - 1) % n_s
+    right = pos % n_s
+    phi_l = grid[left] - np.where(pos == 0, np.pi, 0.0)      # wrap below
+    phi_r = grid[right] + np.where(pos == n_s, np.pi, 0.0)   # wrap above
+    span = np.maximum(phi_r - phi_l, 1e-12)
+    t = np.clip((red_d - phi_l) / span, 0.0, 1.0)
+    # exact hits (shared prefix): snap to the matching source spoke
+    exact_r = np.isclose(red_d, grid[right] % np.pi, atol=1e-9)
+    t = np.where(exact_r, 1.0, t)
+
+    idx_l = order[left]
+    idx_r = order[right]
+    need_flip_l = flip_s[idx_l] ^ flip_d
+    need_flip_r = flip_s[idx_r] ^ flip_d
+
+    # sample-reversal: out[i] = in[(S - i) % S] maps r -> -r on the uniform
+    # [-k_max, k_max) grid (the lone -k_max sample keeps itself — +k_max is
+    # off-grid; one edge sample of approximation in an *input* the network
+    # refines anyway)
+    rev = jnp.roll(jnp.flip(sparse, axis=-1), 1, axis=-1)
+
+    def pick(idx, flips):
+        base = jnp.take(sparse, jnp.asarray(idx), axis=-2)
+        alt = jnp.take(rev, jnp.asarray(idx), axis=-2)
+        mask = jnp.asarray(flips)[..., :, None]
+        return jnp.where(mask, alt, base)
+
+    w_r = jnp.asarray(t, jnp.float32)[..., :, None]
+    return (1.0 - w_r) * pick(idx_l, need_flip_l) + w_r * pick(idx_r, need_flip_r)

@@ -198,6 +198,137 @@ def build_task(config: ExperimentConfig) -> Task:
         return _finalize(config.name, model, init_params, make_batch, loss_fn,
                          predict, config, N, batch_from_images)
 
+    if mc.kind == "sino_unet" and gc.kind == "radial":
+        # Spoke-domain upsampling for radial MRI — the paper's title
+        # capability applied to its second modality (SURVEY.md §2b C4,
+        # §3.3): sparse golden-angle spokes → angular interp to the dense
+        # spoke set → UNet residual (Re/Im channels) → dense spokes →
+        # L1 + image L1 through the differentiable DC-adjoint.
+        #
+        # The UNet does NOT see raw k-space: golden-angle spokes are ~111°
+        # apart in sequence order (no local row structure), and k-space
+        # phase oscillates too fast along the readout for convolutions
+        # (both variants measured flat overfit loss). Instead each spoke
+        # is mapped by a per-row orthonormal inverse FFT to its
+        # projection-domain twin (the central-slice theorem: a spoke's
+        # 1-D IFFT is the object's parallel projection at that angle) and
+        # rows are canonicalized mod π (sample-reversing θ ≥ π spokes)
+        # and sorted by angle — a smooth complex sinogram exactly like the
+        # CT upsampling task's input. The transform is a static
+        # permutation + flip + ortho FFT, inverted exactly on the way out.
+        import numpy as np
+
+        from pdunet_tpu.data.pipeline import interp_upsample_spokes
+
+        model = UNet(out_channels=2, base_features=mc.base_features,
+                     depth=mc.depth, stem=mc.stem, dtype=dtype)
+        dense_angles = dense_geom.spoke_angles
+        sparse_angles = sparse_geom.spoke_angles
+        A_s = sparse_geom.n_spokes
+
+        _phi = np.asarray(dense_angles) % (2.0 * np.pi)
+        _flip = _phi >= np.pi
+        _perm = np.argsort(_phi % np.pi, kind="stable")
+        _inv_perm = np.argsort(_perm, kind="stable")
+        _flip_sorted = jnp.asarray(_flip[_perm])[:, None]
+        _perm_j = jnp.asarray(_perm)
+        _inv_perm_j = jnp.asarray(_inv_perm)
+
+        def _rev(k):
+            # sample reversal r -> -r on the uniform [-k_max, k_max) grid
+            return jnp.roll(jnp.flip(k, axis=-1), 1, axis=-1)
+
+        def to_net_domain(k):
+            s = jnp.take(k, _perm_j, axis=-2)
+            s = jnp.where(_flip_sorted, _rev(s), s)
+            p = jnp.fft.ifft(jnp.fft.ifftshift(s, axes=-1), axis=-1,
+                             norm="ortho")
+            return jnp.fft.fftshift(p, axes=-1)
+
+        def from_net_domain(p):
+            s = jnp.fft.fft(jnp.fft.ifftshift(p, axes=-1), axis=-1,
+                            norm="ortho")
+            s = jnp.fft.fftshift(s, axes=-1)
+            s = jnp.where(_flip_sorted, _rev(s), s)
+            return jnp.take(s, _inv_perm_j, axis=-2)
+
+        def _phase_field(key):
+            coeffs = jax.random.uniform(key, (B, 4), minval=-jnp.pi, maxval=jnp.pi)
+            ax = jnp.linspace(-1.0, 1.0, N)
+            X, Y = jnp.meshgrid(ax, ax)
+            return (coeffs[:, 0, None, None] * X
+                    + coeffs[:, 1, None, None] * Y
+                    + coeffs[:, 2, None, None] * X * Y
+                    + coeffs[:, 3, None, None] * (X**2 - Y**2))
+
+        def _batch_from_complex(img_c):
+            g_dense = ops_dense.A(img_c)
+            # golden-angle subsample keeps the spoke-sequence prefix, so
+            # the sparse measurement is literally the first A_s spokes
+            g_in = interp_upsample_spokes(
+                g_dense[..., :A_s, :], sparse_angles, dense_angles
+            )
+            return {
+                "image": jnp.abs(img_c),
+                "k_dense_w": to_net_domain(g_dense),
+                "k_in_w": to_net_domain(g_in),
+            }
+
+        def make_batch(key):
+            k1, k2 = jax.random.split(key)
+            mag = random_phantom_batch(
+                k1, B, N, n_ellipses=tc.n_ellipses,
+                pixel_spacing=gc.pixel_spacing, nonneg=True,
+            )
+            img_c = mag.astype(jnp.complex64) * jnp.exp(1j * _phase_field(k2))
+            return _batch_from_complex(img_c)
+
+        def init_params(key):
+            A_d, S = ops_dense.sino_shape
+            return model.init(key, jnp.zeros((1, A_d, S, 2)))["params"]
+
+        def predict_kw(params, batch):
+            x = jnp.stack(
+                [jnp.real(batch["k_in_w"]), jnp.imag(batch["k_in_w"])], axis=-1
+            )
+            out = model.apply({"params": params}, x)
+            return batch["k_in_w"] + jax.lax.complex(out[..., 0], out[..., 1])
+
+        def recon_fn(params, batch):
+            pred = from_net_domain(predict_kw(params, batch))
+            return jnp.abs(ops_dense.fbp(pred))
+
+        def loss_fn(params, batch):
+            pred_w = predict_kw(params, batch)
+            total = 0.0
+            aux = {}
+            if tc.sino_loss_weight:
+                ls = jnp.mean(jnp.abs(pred_w - batch["k_dense_w"]))
+                total += tc.sino_loss_weight * ls
+                aux["sino_loss"] = ls
+            if tc.img_loss_weight:
+                li = loss(
+                    jnp.abs(ops_dense.fbp(from_net_domain(pred_w))),
+                    batch["image"],
+                )
+                total += tc.img_loss_weight * li
+                aux["img_loss"] = li
+            return total, aux
+
+        def batch_from_images(img, key=None):
+            del key  # no measurement-noise model for the MRI tasks
+            if isinstance(img, (tuple, list)):
+                img_c = jax.lax.complex(
+                    jnp.asarray(img[0], jnp.float32),
+                    jnp.asarray(img[1], jnp.float32),
+                )
+            else:
+                img_c = img.astype(jnp.complex64)
+            return _batch_from_complex(img_c)
+
+        return _finalize(config.name, model, init_params, make_batch, loss_fn,
+                         recon_fn, config, N, batch_from_images)
+
     if mc.kind == "sino_unet":
         model = UNet(out_channels=1, base_features=mc.base_features,
                      depth=mc.depth, stem=mc.stem, dtype=dtype)

@@ -19,22 +19,31 @@ from pdunet_tpu.training.tasks import build_task
 
 @pytest.fixture(scope="module")
 def task():
+    # f32 model: the equality test checks *sharding semantics* (psum vs
+    # single-device batch sum), which matches to ~1e-9 in f32. In bf16 the
+    # comparison is meaningless: the UNSHARDED gradient itself carries up
+    # to ~20% batch-contraction rounding error vs f32 truth (measured:
+    # unsharded-bf16 grad_norm 0.1908 vs sharded-bf16 0.2297 vs f32 truth
+    # 0.2305 — sharding actually *reduces* the rounding by splitting the
+    # accumulation).
     config = get_preset("fbp_unet_parallel")
     config = dataclasses.replace(
         config,
         geometry=dataclasses.replace(
             config.geometry, image_size=32, n_angles=40, sparsity=4
         ),
-        model=dataclasses.replace(config.model, base_features=8, depth=2),
+        model=dataclasses.replace(
+            config.model, base_features=8, depth=2, use_bfloat16=False
+        ),
         train=dataclasses.replace(config.train, batch_size=8),
     )
     return build_task(config)
 
 
-def _fresh_state(task):
+def _fresh_state(task, tx=None):
     params = task.init_params(jax.random.PRNGKey(1))
     return train_state.TrainState.create(
-        apply_fn=None, params=params, tx=optax.adam(1e-3)
+        apply_fn=None, params=params, tx=tx or optax.adam(1e-3)
     )
 
 
@@ -44,20 +53,29 @@ def test_mesh_has_8_devices():
 
 
 def test_sharded_step_runs_and_matches_single(task):
+    # SGD keeps the update linear in the gradient, so this directly tests
+    # sharded-psum == unsharded gradient equality. (Adam divides by
+    # sqrt(v)+eps: on a near-zero gradient element, float reassociation
+    # noise between the two reductions is amplified to a full ±lr update —
+    # a flaky false positive, not a sharding bug.)
     mesh = make_mesh()
     key = jax.random.PRNGKey(42)
+    sgd = optax.sgd(1e-2)
 
-    state_1 = _fresh_state(task)
+    state_1 = _fresh_state(task, tx=sgd)
     step_1 = make_train_step(task, donate=False)
     state_1_next, metrics_1 = step_1(state_1, key)
 
-    state_8 = replicate(_fresh_state(task), mesh)
+    state_8 = replicate(_fresh_state(task, tx=sgd), mesh)
     step_8 = make_sharded_train_step(task, mesh, donate=False)
     state_8_next, metrics_8 = step_8(state_8, key)
 
     # same seed → same synthesized batch → same loss and same updated params
     np.testing.assert_allclose(
         float(metrics_1["loss"]), float(metrics_8["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics_1["grad_norm"]), float(metrics_8["grad_norm"]), rtol=1e-4
     )
     l1 = jax.tree_util.tree_leaves(state_1_next.params)
     l8 = jax.tree_util.tree_leaves(state_8_next.params)
