@@ -47,27 +47,37 @@ def main() -> int:
     ok = True
     for dtype in ("float32", "bfloat16"):
         plan = build_parallel_plan(geom, dtype=getattr(jnp, dtype))
-        fwd = {
-            impl: jax.jit(
-                lambda x, i=impl: parallel_project(plan, x, impl=i)
-            )(f)
-            for impl in ("pallas", "einsum")
-        }
-        adj = {
-            impl: jax.jit(
-                lambda y, i=impl: parallel_backproject(plan, y, impl=i)
-            )(p)
-            for impl in ("pallas", "einsum")
-        }
+        fwd = {"pallas": jax.jit(
+            lambda x: parallel_project(plan, x, impl="pallas"))(f)}
+        adj = {"pallas": jax.jit(
+            lambda y: parallel_backproject(plan, y, impl="pallas"))(p)}
+        # the einsum twin (and the <Af,p> reductions below) must run at
+        # true f32: TPU's default bf16 matmul passes would pollute the
+        # comparison itself (measured 1.8e-3 "adjoint mismatch" that was
+        # entirely the measurement's reduction error). The precision
+        # context stays OFF the Pallas calls — Mosaic rejects it.
+        with jax.default_matmul_precision("highest"):
+            fwd["einsum"] = jax.jit(
+                lambda x: parallel_project(plan, x, impl="einsum"))(f)
+            adj["einsum"] = jax.jit(
+                lambda y: parallel_backproject(plan, y, impl="einsum"))(p)
+            dot = jax.jit(lambda a, b: jnp.einsum(
+                "bij,bij->", a, b, precision=jax.lax.Precision.HIGHEST))
+            lhs = float(dot(fwd["pallas"], p))
+            rhs = float(dot(f, adj["pallas"]))
         scale_f = float(jnp.max(jnp.abs(fwd["einsum"])))
         scale_a = float(jnp.max(jnp.abs(adj["einsum"])))
         rel_f = float(jnp.max(jnp.abs(fwd["pallas"] - fwd["einsum"]))) / scale_f
         rel_a = float(jnp.max(jnp.abs(adj["pallas"] - adj["einsum"]))) / scale_a
-        lhs = float(jnp.vdot(fwd["pallas"], p))
-        rhs = float(jnp.vdot(f, adj["pallas"]))
         rel_dot = abs(lhs - rhs) / max(abs(lhs), 1e-12)
-        # bf16 operands → ~1e-2 relative; f32 → ~1e-5 (matmul reassociation)
-        tol = 3e-2 if dtype == "bfloat16" else 1e-4
+        # Both tiers are bounded by MXU pass precision, not f32 eps: Mosaic
+        # rejects precision-pinned dots inside kernels ("Bad lhs type"), so
+        # even f32-operand Pallas matmuls run the MXU's default bf16
+        # passes (~1e-3 relative vs the true-f32 einsum twin). Exact-f32
+        # adjoint identities are CI-validated on CPU (tests/test_radon_*);
+        # this artifact pins the on-chip kernels to that oracle at MXU
+        # precision.
+        tol = 3e-2 if dtype == "bfloat16" else 5e-3
         entry = {
             "fwd_rel_max": rel_f,
             "adj_rel_max": rel_a,
