@@ -233,6 +233,13 @@ def build_task(config: ExperimentConfig) -> Task:
         _flip_sorted = jnp.asarray(_flip[_perm])[:, None]
         _perm_j = jnp.asarray(_perm)
         _inv_perm_j = jnp.asarray(_inv_perm)
+        # Static O(1) normalization: projection values grow ~linearly with
+        # the image size (line integrals of O(1) densities), so at 256² the
+        # raw net-domain inputs are O(60). Unnormalized, the first training
+        # steps see grad norms in the hundreds, which inflates Adam's
+        # second moment and flatlines learning for ~1/(1-β₂) steps
+        # (observed: full-scale eval frozen at the interp baseline).
+        _scale = 0.25 * N
 
         def _rev(k):
             # sample reversal r -> -r on the uniform [-k_max, k_max) grid
@@ -243,10 +250,10 @@ def build_task(config: ExperimentConfig) -> Task:
             s = jnp.where(_flip_sorted, _rev(s), s)
             p = jnp.fft.ifft(jnp.fft.ifftshift(s, axes=-1), axis=-1,
                              norm="ortho")
-            return jnp.fft.fftshift(p, axes=-1)
+            return jnp.fft.fftshift(p, axes=-1) / _scale
 
         def from_net_domain(p):
-            s = jnp.fft.fft(jnp.fft.ifftshift(p, axes=-1), axis=-1,
+            s = jnp.fft.fft(jnp.fft.ifftshift(p * _scale, axes=-1), axis=-1,
                             norm="ortho")
             s = jnp.fft.fftshift(s, axes=-1)
             s = jnp.where(_flip_sorted, _rev(s), s)
