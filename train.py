@@ -38,6 +38,9 @@ def parse_args(argv=None):
                    help="data-parallel device count (mesh over the first N devices)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 10-15 here")
+    p.add_argument("--dump-hlo", default=None, metavar="DIR",
+                   help="dump XLA HLO for every compile to DIR "
+                        "(per-kernel cost analysis, SURVEY.md §5.1)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN; slow)")
     p.add_argument("--checkify", action="store_true",
@@ -82,6 +85,13 @@ def resolve_config(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.dump_hlo:
+        import os
+
+        # must land in XLA_FLAGS before the first backend initialization
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + f" --xla_dump_to={args.dump_hlo}"
+        ).strip()
     from pdunet_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
