@@ -40,6 +40,10 @@ class ModelConfig:
     primal_channels: int = 5        # LPD primal/dual memory
     dual_channels: int = 5
     use_bfloat16: bool = False
+    # rematerialize the unroll body in backward: ~30% slower train steps
+    # but O(1)-in-n_iters activation memory. The shipped 256² presets fit
+    # comfortably without it; enable for beyond-HBM geometries/batches.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -108,6 +108,12 @@ class UnrolledPrimalDual(nn.Module):
     dual_channels: int = 1
     share_weights: bool = False
     complex_ops: bool = False
+    #: rematerialize the iteration body during backward. ON trades ~30%
+    #: train-step time for activation memory (needed beyond single-chip
+    #: HBM); OFF stores the unroll's activations (a few hundred MB at the
+    #: shipped 256²/batch-32 scale — measured train-step roofline moves
+    #: from the 4x-forward remat bound to the 3x fwd+bwd bound).
+    remat: bool = True
 
     @nn.compact
     def __call__(self, g, f0):
@@ -121,16 +127,17 @@ class UnrolledPrimalDual(nn.Module):
             f = jnp.tile(f0[..., None], (1,) * f0.ndim + (self.primal_channels,))
             h = jnp.zeros(g.shape + (self.dual_channels,), jnp.float32)
 
+        body_cls = nn.remat(_PDIteration) if self.remat else _PDIteration
         if self.share_weights:
             scan = nn.scan(
-                nn.remat(_PDIteration),
+                body_cls,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 length=self.n_iters,
             )
         else:
             scan = nn.scan(
-                nn.remat(_PDIteration),
+                body_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.n_iters,
@@ -157,6 +164,7 @@ def make_lpd(
     dual_channels: int = 5,
     complex_ops: bool = False,
     dtype=jnp.float32,
+    remat: bool = True,
 ) -> UnrolledPrimalDual:
     """Learned Primal-Dual with the Adler & Öktem defaults (SURVEY.md C6)."""
     step = 2 if complex_ops else 1
@@ -169,6 +177,7 @@ def make_lpd(
         primal_channels=primal_channels,
         dual_channels=dual_channels,
         complex_ops=complex_ops,
+        remat=remat,
     )
 
 
@@ -181,6 +190,7 @@ def make_pdunet(
     stem: int = 1,
     complex_ops: bool = False,
     dtype=jnp.float32,
+    remat: bool = True,
 ) -> UnrolledPrimalDual:
     """Primal-Dual UNet — the reference paper's model (SURVEY.md C7)."""
     step = 2 if complex_ops else 1
@@ -198,5 +208,6 @@ def make_pdunet(
         n_iters=n_iters,
         primal_channels=1,
         dual_channels=1,
+        remat=remat,
         complex_ops=complex_ops,
     )

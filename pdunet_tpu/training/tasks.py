@@ -407,6 +407,7 @@ def build_task(config: ExperimentConfig) -> Task:
                 A=A_n, At=At_n, n_iters=mc.n_iters,
                 base_features=mc.base_features, depth=mc.depth,
                 stem=mc.stem, dtype=dtype, complex_ops=is_complex,
+                remat=mc.remat,
             )
         else:
             model = make_lpd(
@@ -414,7 +415,7 @@ def build_task(config: ExperimentConfig) -> Task:
                 features=mc.lpd_features,
                 primal_channels=mc.primal_channels,
                 dual_channels=mc.dual_channels, dtype=dtype,
-                complex_ops=is_complex,
+                complex_ops=is_complex, remat=mc.remat,
             )
 
         if is_complex:
