@@ -127,8 +127,15 @@ def main(argv=None):
         details = {"primary": result, "config": {"batch": args.batch,
                    "n_iters": args.n_iters, "image_size": args.image_size,
                    "dtype": args.dtype}}
+        import jax.numpy as jnp
+
         _, sparse_geom = build_geometries(config.geometry)
-        ops = make_parallel_ops(sparse_geom)
+        # operator benches must run at the same compute dtype the headline
+        # config uses — an f32 plan under a bf16 label misreports them
+        op_dtype = (
+            jnp.bfloat16 if config.model.use_bfloat16 else jnp.float32
+        )
+        ops = make_parallel_ops(sparse_geom, dtype=op_dtype)
         img = batch["image"]
         sino = batch["sino"]
 

@@ -173,6 +173,13 @@ def train(
                 f"dataset slices are {train_ds.image_size}² but config expects "
                 f"{config.geometry.image_size}²"
             )
+        if len(train_ds) < tc.batch_size:
+            # iterate_batches(drop_remainder=True) would never yield and
+            # the prefetcher would spin forever with no diagnostic
+            raise ValueError(
+                f"{split!r} split has {len(train_ds)} slices < batch_size "
+                f"{tc.batch_size}"
+            )
 
         def _host_images(batch_np):
             # complex64 cannot cross host→device on axon: ship (re, im)
@@ -247,9 +254,14 @@ def train(
 
         best_json = pathlib.Path(tc.ckpt_dir, "best.json")
         if best_json.exists():
-            # resumed runs keep the historical best instead of clobbering it
-            prev = json.loads(best_json.read_text())
-            best_psnr, best_step = prev["psnr"], prev["step"]
+            if best_mgr.latest_step() is not None:
+                # resumed runs keep the historical best instead of
+                # clobbering it
+                prev = json.loads(best_json.read_text())
+                best_psnr, best_step = prev["psnr"], prev["step"]
+            # else: stale metadata without the weight slot (pre-best-manager
+            # run, or best/ was cleaned) — start best tracking fresh so a
+            # new best actually gets saved
 
     from_images = prefetcher is not None
     if mesh is not None:

@@ -277,6 +277,11 @@ def build_task(config: ExperimentConfig) -> Task:
             )
             return {
                 "image": jnp.abs(img_c),
+                # carried so eval paths can reconstruct the *phased* ground
+                # truth (infer.py's noiseless synthetic eval re-synthesizes
+                # measurements from image_c; magnitude alone would silently
+                # evaluate an easier zero-phase distribution)
+                "image_c": img_c,
                 "k_dense_w": to_net_domain(g_dense),
                 "k_in_w": to_net_domain(g_in),
             }

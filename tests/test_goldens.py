@@ -27,13 +27,15 @@ PRESETS = [
     "pdunet_parallel",
     "pdunet_fan",
     "pdunet_radial",
+    "sino_unet_radial",
+    "lpd_parallel",
 ]
 
 
 def golden_config(preset):
     config = get_preset(preset)
     geom_kw = {"image_size": 32, "n_angles": 40, "sparsity": 4}
-    if preset == "pdunet_radial":
+    if config.geometry.kind == "radial":
         geom_kw["samples_per_spoke"] = 48
     return dataclasses.replace(
         config,

@@ -93,6 +93,22 @@ def test_file_backed_training(tmp_path):
     assert result.final_eval["psnr"] > 15.0
 
 
+def test_file_backed_split_smaller_than_batch_errors(tmp_path):
+    """A split smaller than the batch size must error loudly instead of
+    spinning forever in the drop-remainder batch iterator."""
+    from pdunet_tpu.data.datasets import write_phantom_dataset
+
+    path = write_phantom_dataset(
+        str(tmp_path / "tiny.h5"), n_slices=4, image_size=32, seed=5,
+    )
+    config = tiny(get_preset("fbp_unet_parallel"))
+    config = dataclasses.replace(
+        config, train=dataclasses.replace(config.train, batch_size=8)
+    )
+    with pytest.raises(ValueError, match="batch_size"):
+        train(config, data=path, verbose=False)
+
+
 def test_file_backed_complex_radial(tmp_path):
     """Complex HDF5 slices feed the radial task as (re, im) pairs (the axon
     backend cannot transfer complex64), and training steps run."""
