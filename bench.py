@@ -106,7 +106,11 @@ def main(argv=None):
     batch = task.make_batch(key)
 
     # carry the reconstruction back in as the next initial image: a real
-    # data dependency, so the fori_loop times back-to-back reconstructions
+    # data dependency, so the fori_loop times back-to-back reconstructions.
+    # params/batch enter as closure constants — safe here because both are
+    # compute-produced device arrays (init_params/make_batch jits), which
+    # the axon relay can read back for HLO embedding; host-loaded arrays
+    # must go through jit arguments instead (utils/device.py quirk list)
     dt = timeit(
         lambda f0: task.recon_fn(params, dict(batch, f0=f0)), batch["f0"]
     )

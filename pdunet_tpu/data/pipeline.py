@@ -19,11 +19,26 @@ __all__ = [
     "subsample_angles",
     "interp_upsample_angles",
     "interp_upsample_spokes",
+    "reverse_spoke_samples",
     "lowdose_poisson_noise",
     "mu_to_hu",
     "hu_to_mu",
     "normalize_ct_window",
 ]
+
+
+def reverse_spoke_samples(spokes: jnp.ndarray) -> jnp.ndarray:
+    """Map each radial spoke's samples r → -r on the uniform
+    [-k_max, k_max) readout grid: ``out[i] = in[(S - i) % S]``.
+
+    This is the sample-order change between a spoke at angle θ and the
+    same diameter traversed at θ+π. The lone -k_max sample maps to itself
+    (+k_max is off-grid by construction of the half-open grid) — a
+    one-edge-sample approximation, acceptable wherever the result feeds a
+    network input or an angle-parity canonicalization.
+    """
+    return jnp.roll(jnp.flip(spokes, axis=-1), 1, axis=-1)
+
 
 MU_WATER = 0.02  # 1/mm, standard ~70 keV attenuation of water
 
@@ -154,11 +169,7 @@ def interp_upsample_spokes(
     need_flip_l = flip_s[idx_l] ^ flip_d
     need_flip_r = flip_s[idx_r] ^ flip_d
 
-    # sample-reversal: out[i] = in[(S - i) % S] maps r -> -r on the uniform
-    # [-k_max, k_max) grid (the lone -k_max sample keeps itself — +k_max is
-    # off-grid; one edge sample of approximation in an *input* the network
-    # refines anyway)
-    rev = jnp.roll(jnp.flip(sparse, axis=-1), 1, axis=-1)
+    rev = reverse_spoke_samples(sparse)
 
     def pick(idx, flips):
         base = jnp.take(sparse, jnp.asarray(idx), axis=-2)

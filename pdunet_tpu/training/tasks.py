@@ -218,7 +218,10 @@ def build_task(config: ExperimentConfig) -> Task:
         # permutation + flip + ortho FFT, inverted exactly on the way out.
         import numpy as np
 
-        from pdunet_tpu.data.pipeline import interp_upsample_spokes
+        from pdunet_tpu.data.pipeline import (
+            interp_upsample_spokes,
+            reverse_spoke_samples,
+        )
 
         model = UNet(out_channels=2, base_features=mc.base_features,
                      depth=mc.depth, stem=mc.stem, dtype=dtype)
@@ -241,13 +244,9 @@ def build_task(config: ExperimentConfig) -> Task:
         # (observed: full-scale eval frozen at the interp baseline).
         _scale = 0.25 * N
 
-        def _rev(k):
-            # sample reversal r -> -r on the uniform [-k_max, k_max) grid
-            return jnp.roll(jnp.flip(k, axis=-1), 1, axis=-1)
-
         def to_net_domain(k):
             s = jnp.take(k, _perm_j, axis=-2)
-            s = jnp.where(_flip_sorted, _rev(s), s)
+            s = jnp.where(_flip_sorted, reverse_spoke_samples(s), s)
             p = jnp.fft.ifft(jnp.fft.ifftshift(s, axes=-1), axis=-1,
                              norm="ortho")
             return jnp.fft.fftshift(p, axes=-1) / _scale
@@ -256,7 +255,7 @@ def build_task(config: ExperimentConfig) -> Task:
             s = jnp.fft.fft(jnp.fft.ifftshift(p * _scale, axes=-1), axis=-1,
                             norm="ortho")
             s = jnp.fft.fftshift(s, axes=-1)
-            s = jnp.where(_flip_sorted, _rev(s), s)
+            s = jnp.where(_flip_sorted, reverse_spoke_samples(s), s)
             return jnp.take(s, _inv_perm_j, axis=-2)
 
         def _phase_field(key):
