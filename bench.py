@@ -63,7 +63,10 @@ def timeit(fn, x0, iters=10):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=32)
+    # throughput saturates at batch 256 (measured: 32→781, 128→904,
+    # 256→917, 512→911 slices/s/chip) — batch amortizes the per-dispatch
+    # overhead and fills the MXU across the small UNet convolutions
+    p.add_argument("--batch", type=int, default=256)
     p.add_argument("--n-iters", type=int, default=4)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--platform", default=None)
