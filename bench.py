@@ -157,12 +157,25 @@ def main(argv=None):
 
         from pdunet_tpu.training.loop import make_train_step
 
-        step = make_train_step(task, donate=False)
+        # the inference-saturating batch (256) OOMs the no-remat train step
+        # (fwd + bwd activations); train throughput is reported at its own
+        # batch — the shipped training batch sizes are far below this cap
+        train_batch = min(args.batch, 32)
+        if train_batch != args.batch:
+            train_config = dataclasses.replace(
+                config,
+                train=dataclasses.replace(config.train, batch_size=train_batch),
+            )
+            train_task = build_task(train_config)
+        else:
+            train_task = task
+        details["config"]["train_batch"] = train_batch
+        step = make_train_step(train_task, donate=False)
         import optax
         from flax.training import train_state
 
         state = train_state.TrainState.create(
-            apply_fn=None, params=params, tx=optax.adam(1e-3)
+            apply_fn=None, params=train_task.init_params(key), tx=optax.adam(1e-3)
         )
 
         # train-step chain: the optimizer state is the natural carry
@@ -187,7 +200,7 @@ def main(argv=None):
         float(train_loop(iters, state))
         dt_t = max(time.perf_counter() - t0 - base, 1e-9) / iters
         details["train_step_sec"] = round(dt_t, 4)
-        details["train_slices_per_sec"] = round(args.batch / dt_t, 2)
+        details["train_slices_per_sec"] = round(train_batch / dt_t, 2)
 
         print(json.dumps(details, indent=2), file=sys.stderr)
         with open("bench_details.json", "w") as f:
