@@ -61,6 +61,59 @@ def timeit(fn, x0, iters=10):
         iters *= 8
 
 
+#: the batch each preset's end-to-end recon is benchmarked at (--all): large
+#: enough to saturate (inference throughput plateaus by ~128-256 for the CT
+#: presets), bounded for the complex radial tasks whose k-space activations
+#: are the largest per-slice
+MATRIX_BATCH = {
+    "pdunet_parallel": 256,
+    "fbp_unet_parallel": 256,
+    "sino_unet_parallel": 128,
+    "lpd_parallel": 256,
+    "pdunet_fan": 128,
+    "pdunet_radial": 64,
+    "sino_unet_radial": 64,
+}
+
+#: which batch entry each model kind's recon_fn re-consumes as the timing
+#: loop's carry (a real data dependency so back-to-back recons chain)
+_CARRY_KEY = {"pdunet": "f0", "lpd": "f0", "fbp_unet": "fbp"}
+
+
+def bench_preset_recon(name: str, batch_size: int) -> dict:
+    """End-to-end recon throughput of one shipped preset at its trained
+    config (dtype/stem/n_iters as shipped) — the SURVEY.md §6 matrix row."""
+    import dataclasses as dc
+
+    import jax
+
+    from pdunet_tpu.configs import get_preset
+    from pdunet_tpu.training.tasks import build_task
+
+    config = get_preset(name)
+    config = dc.replace(
+        config, train=dc.replace(config.train, batch_size=batch_size)
+    )
+    task = build_task(config)
+    key = jax.random.PRNGKey(0)
+    params = task.init_params(key)
+    batch = task.make_batch(key)
+    if config.model.kind == "sino_unet":
+        carry_key = "k_in_w" if config.geometry.kind == "radial" else "sino_in"
+    else:
+        carry_key = _CARRY_KEY[config.model.kind]
+    dt = timeit(
+        lambda x: task.recon_fn(params, dict(batch, **{carry_key: x})),
+        batch[carry_key],
+    )
+    return {
+        "preset": name,
+        "batch": batch_size,
+        "recon_slices_per_sec": round(batch_size / dt, 2),
+        "sec_per_slice": round(dt / batch_size, 6),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     # throughput saturates at batch 256 (measured: 32→781, 128→904,
@@ -71,6 +124,13 @@ def main(argv=None):
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--platform", default=None)
     p.add_argument("--all", action="store_true", help="also run secondary benches")
+    p.add_argument("--matrix", action="store_true",
+                   help="with --all: bench every shipped preset end-to-end "
+                        "(SURVEY.md §6 config matrix) and write "
+                        "bench_matrix.jsonl")
+    p.add_argument("--train-scan", action="store_true",
+                   help="with --all: probe train-step batch scaling with "
+                        "remat on (speed/memory frontier)")
     p.add_argument("--dtype", choices=["preset", "f32", "bf16"], default="preset",
                    help="network compute dtype (default: the preset's, bf16)")
     args = p.parse_args(argv)
@@ -201,6 +261,70 @@ def main(argv=None):
         dt_t = max(time.perf_counter() - t0 - base, 1e-9) / iters
         details["train_step_sec"] = round(dt_t, 4)
         details["train_slices_per_sec"] = round(train_batch / dt_t, 2)
+
+        if args.train_scan:
+            # Speed/memory frontier (BASELINE.json:5): remat trades ~30%
+            # step time for O(1)-in-unroll activation memory, unlocking
+            # batches the no-remat step OOMs on; report the whole ladder.
+            details["train_scan"] = []
+            for b, use_remat in ((32, False), (64, True), (128, True),
+                                 (256, True)):
+                scan_config = dataclasses.replace(
+                    config,
+                    model=dataclasses.replace(config.model, remat=use_remat),
+                    train=dataclasses.replace(config.train, batch_size=b),
+                )
+                try:
+                    scan_task = build_task(scan_config)
+                    s_step = make_train_step(scan_task, donate=False)
+                    s_state = train_state.TrainState.create(
+                        apply_fn=None, params=scan_task.init_params(key),
+                        tx=optax.adam(1e-3),
+                    )
+
+                    @jax.jit
+                    def s_loop(n, s):
+                        def body(i, s):
+                            s2, _ = s_step(s, jax.random.fold_in(key, i))
+                            return s2
+                        out = lax.fori_loop(0, n, body, s)
+                        leaf = jax.tree_util.tree_leaves(out.params)[0]
+                        return jnp.real(jnp.ravel(leaf))[0]
+
+                    float(s_loop(2, s_state))
+                    t0 = time.perf_counter()
+                    float(s_loop(0, s_state))
+                    s_base = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    float(s_loop(5, s_state))
+                    s_dt = max(time.perf_counter() - t0 - s_base, 1e-9) / 5
+                    details["train_scan"].append({
+                        "batch": b, "remat": use_remat,
+                        "step_sec": round(s_dt, 4),
+                        "slices_per_sec": round(b / s_dt, 2),
+                    })
+                except Exception as e:  # OOM at some batch: record and stop
+                    details["train_scan"].append(
+                        {"batch": b, "remat": use_remat,
+                         "error": type(e).__name__})
+                    break
+
+        if args.matrix:
+            # SURVEY.md §6: one end-to-end recon-throughput row per shipped
+            # preset at its trained config, emitted as machine-checkable
+            # JSONL (BASELINE.md contract).
+            details["presets"] = []
+            with open("bench_matrix.jsonl", "w") as mf:
+                for name, b in MATRIX_BATCH.items():
+                    try:
+                        row = bench_preset_recon(name, b)
+                    except Exception as e:
+                        row = {"preset": name, "batch": b,
+                               "error": f"{type(e).__name__}: {e}"}
+                    details["presets"].append(row)
+                    mf.write(json.dumps(row) + "\n")
+                    mf.flush()
+                    print(json.dumps(row), file=sys.stderr)
 
         print(json.dumps(details, indent=2), file=sys.stderr)
         with open("bench_details.json", "w") as f:

@@ -38,6 +38,13 @@ def parse_args(argv=None):
     p.add_argument("--corrupt", action="store_true",
                    help="evaluate under the task's training corruption "
                         "(e.g. low-dose noise) instead of noiseless synthesis")
+    p.add_argument("--hu-window", nargs=2, type=float, default=None,
+                   metavar=("CENTER", "WIDTH"),
+                   help="score PSNR/SSIM in a clinical HU display window "
+                        "(e.g. 40 400 for soft tissue): recon and ground "
+                        "truth are mapped relative-attenuation → HU → "
+                        "clipped [0,1] window first. Use with HU-domain "
+                        "datasets (convert_volume(domain='hu'))")
     p.add_argument("--export-png", default=None, help="directory for PNG dumps")
     p.add_argument("--export-count", type=int, default=4)
     p.add_argument("--json-out", default=None, help="write metrics JSON here")
@@ -96,9 +103,25 @@ def main(argv=None):
         print("[infer] WARNING: no --ckpt-dir; evaluating randomly-initialized params")
 
     recon_j = jax.jit(lambda p, b: task.recon_fn(p, b))
-    metric_j = jax.jit(
-        lambda r, t: (psnr(r, t), ssim(r, t))
-    )
+    if args.hu_window:
+        from pdunet_tpu.data.pipeline import MU_WATER, mu_to_hu, normalize_ct_window
+
+        center, width = args.hu_window
+
+        def _windowed(x):
+            # slices are relative attenuation μ/μ_water (SliceDataset converts
+            # HU volumes on read); scoring happens in the clipped HU window —
+            # the clinically meaningful error metric for CT (SURVEY.md C4)
+            return normalize_ct_window(mu_to_hu(x * MU_WATER), center, width)
+
+        metric_j = jax.jit(
+            lambda r, t: (psnr(_windowed(r), _windowed(t)),
+                          ssim(_windowed(r), _windowed(t)))
+        )
+    else:
+        metric_j = jax.jit(
+            lambda r, t: (psnr(r, t), ssim(r, t))
+        )
 
     all_psnr, all_ssim = [], []
     exported = 0

@@ -58,6 +58,10 @@ class TrainConfig:
     img_loss_weight: float = 1.0    # image-domain loss through FBP
     log_every: int = 100
     eval_every: int = 1000
+    # held-out slices scored per validation pass (rounded up to whole
+    # batches). Best-ckpt selection over a single 4-slice batch is noisy
+    # relative to the ±1.5 dB per-slice spread; ≥32 stabilizes it.
+    val_slices: int = 32
     ckpt_every: int = 1000
     max_checkpoints: int = 3
     ckpt_dir: str = ""              # "" → no checkpointing

@@ -113,7 +113,10 @@ class UnrolledPrimalDual(nn.Module):
     #: HBM); OFF stores the unroll's activations (a few hundred MB at the
     #: shipped 256²/batch-32 scale — measured train-step roofline moves
     #: from the 4x-forward remat bound to the 3x fwd+bwd bound).
-    remat: bool = True
+    #: Default OFF, matching ModelConfig.remat — direct construction and
+    #: the config-driven path must agree (a silent 30% train-step slowdown
+    #: otherwise).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, g, f0):
@@ -164,7 +167,7 @@ def make_lpd(
     dual_channels: int = 5,
     complex_ops: bool = False,
     dtype=jnp.float32,
-    remat: bool = True,
+    remat: bool = False,
 ) -> UnrolledPrimalDual:
     """Learned Primal-Dual with the Adler & Öktem defaults (SURVEY.md C6)."""
     step = 2 if complex_ops else 1
@@ -190,7 +193,7 @@ def make_pdunet(
     stem: int = 1,
     complex_ops: bool = False,
     dtype=jnp.float32,
-    remat: bool = True,
+    remat: bool = False,
 ) -> UnrolledPrimalDual:
     """Primal-Dual UNet — the reference paper's model (SURVEY.md C7)."""
     step = 2 if complex_ops else 1

@@ -19,9 +19,11 @@ def l1(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def l2(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean((pred - target) ** 2)
+    # |d|² instead of d² so complex residuals (radial MRI) reduce to a real
+    # scalar; identical to (pred-target)² for real inputs.
+    return jnp.mean(jnp.abs(pred - target) ** 2)
 
 
 def charbonnier(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
     """Smooth L1 variant; numerically kinder than |·| at zero under bf16."""
-    return jnp.mean(jnp.sqrt((pred - target) ** 2 + eps * eps))
+    return jnp.mean(jnp.sqrt(jnp.abs(pred - target) ** 2 + eps * eps))

@@ -266,38 +266,84 @@ class RadonOps(NamedTuple):
     sino_shape: tuple
 
 
-def make_parallel_ops(geom: ParallelGeometry, dtype=jnp.float32) -> RadonOps:
+def make_parallel_ops(geom: ParallelGeometry, dtype=jnp.float32, mesh=None,
+                      angle_axis: str = "angle",
+                      batch_axis: str = None) -> RadonOps:
     """Build the differentiable parallel-beam operator bundle for ``geom``.
 
     ``vjp(A) = At`` and ``vjp(At) = A`` exactly (the factored stages are
     transposed weight-for-weight), replacing torch-radon's autograd Function
     pairing (SURVEY.md §2c).
+
+    ``mesh``: a jax.sharding.Mesh with an ``angle_axis`` dimension makes the
+    bundle angle-sharded (parallel/angle_shard.py): each chip computes its
+    own angle shard of the plan, the adjoint psums over the angle axis, and
+    the Pallas kernels still run per shard on TPU. ``batch_axis`` names the
+    mesh axis (if any) the leading batch dim is sharded over, composing
+    with data parallelism on a 2-D mesh. This is the beyond-single-chip-HBM
+    path (SURVEY.md §5.7): inputs must carry an explicit leading batch dim
+    divisible by the batch axis size.
     """
     from pdunet_tpu.ops.radon.filtering import filter_sinogram
 
     plan = build_parallel_plan(geom, dtype=dtype)
 
+    if mesh is not None:
+        from pdunet_tpu.parallel.angle_shard import (
+            angle_sharded_backproject,
+            angle_sharded_project,
+        )
+
+        D = mesh.shape[batch_axis] if batch_axis else 1
+
+        def _pad_batch(xb):
+            # shard_map needs the batch divisible by the data axis; pad with
+            # zero slices (model.init traces with batch 1, eval batches may
+            # be ragged) and slice the pad back off after
+            pad = (-xb.shape[0]) % D
+            if pad:
+                xb = jnp.concatenate(
+                    [xb, jnp.zeros((pad,) + xb.shape[1:], xb.dtype)], axis=0
+                )
+            return xb, pad
+
+        def _proj(f):
+            fb, restore = _collapse_batch(f, 2)
+            fb, pad = _pad_batch(fb)
+            out = angle_sharded_project(plan, fb, mesh, angle_axis, batch_axis)
+            return restore(out[: out.shape[0] - pad] if pad else out)
+
+        def _bproj(p):
+            pb, restore = _collapse_batch(p, 2)
+            pb, pad = _pad_batch(pb)
+            out = angle_sharded_backproject(
+                plan, pb, mesh, angle_axis, batch_axis)
+            return restore(out[: out.shape[0] - pad] if pad else out)
+    else:
+        _proj = lambda f: parallel_project(plan, f)
+        _bproj = lambda p: parallel_backproject(plan, p)
+
     @jax.custom_vjp
     def A(f):
-        return parallel_project(plan, f)
+        return _proj(f)
 
     def A_fwd(f):
         return A(f), None
 
     def A_bwd(_, g):
-        return (parallel_backproject(plan, g),)
+        return (_bproj(g),)
 
     A.defvjp(A_fwd, A_bwd)
 
     @jax.custom_vjp
     def At(p):
-        return parallel_backproject(plan, p)
+        return _bproj(p)
 
     def At_fwd(p):
         return At(p), None
 
     def At_bwd(_, g):
-        return (parallel_project(plan, g),)
+        return (_proj(g),)
 
     At.defvjp(At_fwd, At_bwd)
 

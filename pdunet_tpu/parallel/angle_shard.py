@@ -15,6 +15,13 @@ y-primary group (|cosθ| ≥ √2/2 vs the rest; see geometry.py): each group is
 sharded independently — padded with zero rows up to a multiple of the mesh
 axis — and the group outputs are reassembled with the plan's inverse
 permutation, so any shipped geometry (full [0,π) scans included) shards.
+
+The per-shard group bodies route through the same ``impl`` switch as the
+unsharded ops (ops/radon/parallel.py ``_resolve_impl``): fused Pallas
+kernels on TPU, the einsum twin elsewhere — angle sharding costs no kernel
+quality. ``make_parallel_ops(geom, mesh=...)`` packages all of this as a
+drop-in differentiable operator bundle (the product path used by
+``train.py --angle-devices``).
 """
 
 from __future__ import annotations
@@ -26,7 +33,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pdunet_tpu.geometry import ParallelPlan
-from pdunet_tpu.ops.radon.parallel import _backproject_group, _project_group
+from pdunet_tpu.ops.radon.parallel import (
+    _CDT,
+    _backproject_group,
+    _project_group,
+    _resolve_impl,
+)
 
 __all__ = [
     "angle_sharded_project",
@@ -49,11 +61,30 @@ def _padded(arr: jnp.ndarray, n_shards: int) -> jnp.ndarray:
     )
 
 
+def _group_fns(cdt, impl):
+    """Per-shard group bodies honoring the impl switch (Pallas on TPU)."""
+    if _resolve_impl(impl) == "pallas":
+        from pdunet_tpu.ops.radon.pallas_kernels import (
+            backproject_group_pallas,
+            project_group_pallas,
+        )
+
+        bf16 = cdt == jnp.bfloat16
+        fwd = lambda f, *a: project_group_pallas(f, *a, bf16=bf16)
+        adj = lambda p, *a, N: backproject_group_pallas(p, *a, N, bf16=bf16)
+    else:
+        fwd = lambda f, *a: _project_group(f, *a, cdt=cdt)
+        adj = lambda p, *a, N: _backproject_group(p, *a, cdt=cdt)
+    return fwd, adj
+
+
 def _project_group_sharded(
-    f, pos, shift, spec, Wc, Ws, L, contract_x, mesh, axis, batch_axis=None
+    f, pos, shift, spec, Wc, Ws, L, contract_x, mesh, axis, batch_axis=None,
+    cdt=jnp.float32, impl=None,
 ):
     n_shards = mesh.shape[axis]
     A_g = pos.shape[0]
+    group_fwd, _ = _group_fns(cdt, impl)
 
     @functools.partial(
         jax.shard_map,
@@ -63,16 +94,18 @@ def _project_group_sharded(
         out_specs=P(batch_axis, axis, None),
     )
     def fwd(f, pos, shift, spec, Wc, Ws):
-        return _project_group(f, pos, shift, spec, Wc, Ws, L, contract_x)
+        return group_fwd(f, pos, shift, spec, Wc, Ws, L, contract_x)
 
     out = fwd(f, _padded(pos, n_shards), _padded(shift, n_shards), spec, Wc, Ws)
     return out[:, :A_g]
 
 
 def _backproject_group_sharded(
-    p, pos, shift, spec, Wc, Ws, L, contract_x, mesh, axis, batch_axis=None
+    p, pos, shift, spec, Wc, Ws, L, contract_x, mesh, axis, batch_axis=None,
+    cdt=jnp.float32, impl=None, N=None,
 ):
     n_shards = mesh.shape[axis]
+    _, group_adj = _group_fns(cdt, impl)
 
     @functools.partial(
         jax.shard_map,
@@ -82,7 +115,7 @@ def _backproject_group_sharded(
         out_specs=P(batch_axis, None, None),
     )
     def adj(p, pos, shift, spec, Wc, Ws):
-        partial_img = _backproject_group(p, pos, shift, spec, Wc, Ws, L, contract_x)
+        partial_img = group_adj(p, pos, shift, spec, Wc, Ws, L, contract_x, N=N)
         # reduce only over the angle axis; the batch axis (if any) stays
         # sharded — this is the 2-D data x angle composition
         return jax.lax.psum(partial_img, axis)
@@ -97,7 +130,7 @@ def _backproject_group_sharded(
 
 def angle_sharded_project(
     plan: ParallelPlan, image: jnp.ndarray, mesh: Mesh, axis: str = "angle",
-    batch_axis: str | None = None,
+    batch_axis: str | None = None, impl: str | None = None,
 ) -> jnp.ndarray:
     """Forward projection with angles sharded over ``axis``: no collectives
     (angle-separable). Both angle groups shard; outputs reassemble through
@@ -105,47 +138,53 @@ def angle_sharded_project(
     leading image/batch dim over that mesh axis (2-D data x angle mesh)."""
     meta = plan.meta
     L = meta["S_ext"]
+    cdt = _CDT[meta.get("compute_dtype", "float32")]
+    f = image.astype(jnp.float32)
     parts = []
     if meta["A_x"]:
         parts.append(_project_group_sharded(
-            image, plan.pos_x, plan.shift_x, plan.spec, plan.Wc, plan.Ws,
-            L, True, mesh, axis, batch_axis))
+            f, plan.pos_x, plan.shift_x, plan.spec, plan.Wc, plan.Ws,
+            L, True, mesh, axis, batch_axis, cdt, impl))
     if meta["A_y"]:
         parts.append(_project_group_sharded(
-            image, plan.pos_y, plan.shift_y, plan.spec, plan.Wc, plan.Ws,
-            L, False, mesh, axis, batch_axis))
+            f, plan.pos_y, plan.shift_y, plan.spec, plan.Wc, plan.Ws,
+            L, False, mesh, axis, batch_axis, cdt, impl))
     p = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-    return jnp.take(p, jnp.asarray(meta["inv_perm"]), axis=1)
+    p = jnp.take(p, jnp.asarray(meta["inv_perm"]), axis=1)
+    return p.astype(image.dtype)
 
 
 def angle_sharded_backproject(
     plan: ParallelPlan, sino: jnp.ndarray, mesh: Mesh, axis: str = "angle",
-    batch_axis: str | None = None,
+    batch_axis: str | None = None, impl: str | None = None,
 ) -> jnp.ndarray:
     """Adjoint with angles sharded: per-shard partial backprojection then a
     ``psum`` over the angle axis (the ICI all-reduce), per group. With
     ``batch_axis`` the batch dim stays sharded on that axis through the
     reduction (2-D data x angle mesh)."""
     meta = plan.meta
-    L = meta["S_ext"]
+    N, L = meta["N"], meta["S_ext"]
+    cdt = _CDT[meta.get("compute_dtype", "float32")]
+    p_in = sino.astype(jnp.float32)
     f = None
     if meta["A_x"]:
-        px = jnp.take(sino, jnp.asarray(meta["idx_x"]), axis=1)
+        px = jnp.take(p_in, jnp.asarray(meta["idx_x"]), axis=1)
         f = _backproject_group_sharded(
             px, plan.pos_x, plan.shift_x, plan.spec, plan.Wc, plan.Ws,
-            L, True, mesh, axis, batch_axis)
+            L, True, mesh, axis, batch_axis, cdt, impl, N=N)
     if meta["A_y"]:
-        py = jnp.take(sino, jnp.asarray(meta["idx_y"]), axis=1)
+        py = jnp.take(p_in, jnp.asarray(meta["idx_y"]), axis=1)
         fy = _backproject_group_sharded(
             py, plan.pos_y, plan.shift_y, plan.spec, plan.Wc, plan.Ws,
-            L, False, mesh, axis, batch_axis)
+            L, False, mesh, axis, batch_axis, cdt, impl, N=N)
         f = fy if f is None else f + fy
-    return f
+    return f.astype(sino.dtype)
 
 
 def angle_sharded_fbp(
     plan: ParallelPlan, sino: jnp.ndarray, mesh: Mesh, axis: str = "angle",
     filter_name: str = "ramp", batch_axis: str | None = None,
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """Filtered backprojection with the backprojection sharded over angles.
 
@@ -162,4 +201,4 @@ def angle_sharded_fbp(
     )
     filtered = filter_sinogram(sino, geom.det_spacing, filter_name)
     return bp_scale * angle_sharded_backproject(
-        plan, filtered, mesh, axis, batch_axis)
+        plan, filtered, mesh, axis, batch_axis, impl)

@@ -130,6 +130,7 @@ def train(
     metrics_path: Optional[str] = None,
     verbose: bool = True,
     n_devices: Optional[int] = None,
+    angle_devices: Optional[int] = None,
     profile_dir: Optional[str] = None,
     tb_dir: Optional[str] = None,
     data: Optional[str] = None,
@@ -141,7 +142,11 @@ def train(
     ``fixed_data=True`` reuses a single synthesized batch every step (the
     overfit smoke-test mode of SURVEY.md §4.2 tier 5).
     ``n_devices``: >1 shards the batch over a data-parallel mesh (XLA psum
-    over ICI; SURVEY.md §2d). ``profile_dir``: capture a jax.profiler trace
+    over ICI; SURVEY.md §2d). ``angle_devices``: >1 additionally shards the
+    physics operators' angle axis over that many devices (parallel-beam
+    only; the beyond-HBM axis of SURVEY.md §5.7) — the mesh becomes
+    (data=n_devices, angle=angle_devices) over n_devices·angle_devices
+    chips. ``profile_dir``: capture a jax.profiler trace
     of steps 10-15 (SURVEY.md §5.1).
     ``data``: HDF5 slice dataset path — train from file-backed ground truth
     (host prefetch thread feeds image batches; measurement synthesis + the
@@ -152,7 +157,23 @@ def train(
     """
     tc = config.train
     n_steps = tc.steps if steps is None else steps
-    task = build_task(config)
+
+    mesh = None
+    D = n_devices if n_devices else 1
+    G = angle_devices if angle_devices else 1
+    if D > 1 or G > 1:
+        from pdunet_tpu.parallel import make_mesh
+
+        if tc.batch_size % D:
+            raise ValueError(
+                f"batch_size {tc.batch_size} not divisible by {D} devices"
+            )
+        mesh = make_mesh(D * G, axes=("data", "angle"), shape=(D, G))
+
+    if G > 1:
+        task = build_task(config, mesh=mesh, batch_axis="data")
+    else:
+        task = build_task(config)
 
     key = jax.random.PRNGKey(tc.seed)
     key, init_key, data_key, val_key = jax.random.split(key, 4)
@@ -196,31 +217,29 @@ def train(
         prefetcher = HostPrefetcher(
             lambda _i: _host_images(next(batch_iter)), depth=2
         )
+        n_val_batches = max(1, -(-tc.val_slices // tc.batch_size))
         try:
             val_ds = SliceDataset(data, split="val")
             if len(val_ds) >= tc.batch_size:
-                val_images = _host_images(
-                    next(iterate_batches(val_ds, tc.batch_size, shuffle=False))
-                )
+                it = iterate_batches(val_ds, tc.batch_size, shuffle=False)
+                val_images = [
+                    _host_images(b)
+                    for b, _ in zip(it, range(
+                        min(n_val_batches, len(val_ds) // tc.batch_size)))
+                ]
             val_ds.close()
         except Exception:
             pass
         if val_images is None:  # tiny datasets: validate on the first batch
-            val_images = _host_images(
+            val_images = [_host_images(
                 next(iterate_batches(train_ds, tc.batch_size, shuffle=False))
-            )
+            )]
 
     state = build_state(task, init_key=init_key, n_steps=n_steps)
 
-    mesh = None
-    if n_devices is not None and n_devices > 1:
-        from pdunet_tpu.parallel import make_mesh, replicate
+    if mesh is not None:
+        from pdunet_tpu.parallel import replicate
 
-        if tc.batch_size % n_devices:
-            raise ValueError(
-                f"batch_size {tc.batch_size} not divisible by {n_devices} devices"
-            )
-        mesh = make_mesh(n_devices)
         state = replicate(state, mesh)
 
     ckpt_mgr = None
@@ -273,10 +292,24 @@ def train(
     else:
         step_fn = make_train_step(task, from_images=from_images, checked=checked)
     eval_fn = make_eval_step(task)
+    # Fixed validation set of ≥ tc.val_slices held-out slices, as several
+    # whole batches (the eval step is compiled once at the training batch
+    # shape). Best-ckpt selection averages over all of them.
     if from_images:
-        val_batch = task.batch_from_images(val_images)  # noiseless eval
+        val_batches = [task.batch_from_images(v) for v in val_images]  # noiseless
     else:
-        val_batch = task.make_batch(val_key)
+        n_val_batches = max(1, -(-tc.val_slices // tc.batch_size))
+        val_batches = [
+            task.make_batch(jax.random.fold_in(val_key, j))
+            for j in range(n_val_batches)
+        ]
+
+    def run_eval(params):
+        sums = {}
+        for b in val_batches:
+            for k, v in eval_fn(params, b).items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / len(val_batches) for k, v in sums.items()}
 
     history = []
     tb_writer = None
@@ -323,12 +356,16 @@ def train(
                     i + 1, {k: v for k, v in m.items() if k not in ("step",)}
                 )
         if (i + 1) % tc.eval_every == 0 and not fixed_data:
-            ev = {k: float(v) for k, v in eval_fn(state.params, val_batch).items()}
+            ev = run_eval(state.params)
             if verbose:
                 print(f"[eval]  step {i + 1}: {json.dumps(ev)}")
             if mfile:
                 mfile.write(json.dumps({"step": i + 1, **ev}) + "\n")
                 mfile.flush()
+            if tb_writer:
+                tb_writer.write_scalars(
+                    i + 1, {f"val_{k}": v for k, v in ev.items()}
+                )
             # best-val tracking (reference: Lightning checkpoint-on-best)
             if ev["psnr"] > best_psnr:
                 best_psnr = ev["psnr"]
@@ -348,10 +385,13 @@ def train(
     if prefetcher is not None:
         prefetcher.close()
         train_ds.close()
-    eval_batch = val_batch if not fixed_data else task.make_batch(
-        jax.random.fold_in(data_key, 0)
-    )
-    final_eval = {k: float(v) for k, v in eval_fn(state.params, eval_batch).items()}
+    if fixed_data:
+        eval_batch = task.make_batch(jax.random.fold_in(data_key, 0))
+        final_eval = {
+            k: float(v) for k, v in eval_fn(state.params, eval_batch).items()
+        }
+    else:
+        final_eval = run_eval(state.params)
     if ckpt_mgr is not None:
         if ckpt_mgr.latest_step() != n_steps:
             ckpt_mgr.save(n_steps, state, force=True)

@@ -140,25 +140,49 @@ def _maybe_noise(key, sino, photons):
     return lowdose_poisson_noise(key, sino * MU_WATER, photons) / MU_WATER
 
 
-def build_task(config: ExperimentConfig) -> Task:
+def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
+               batch_axis: str = None) -> Task:
+    """``mesh``: angle-shard the physics operators over ``angle_axis`` of the
+    given jax.sharding.Mesh (parallel-beam only; SURVEY.md §5.7 beyond-HBM
+    path). ``batch_axis`` names the mesh axis the batch is sharded over so
+    the 2-D data x angle composition holds inside the ops."""
     gc, mc, tc = config.geometry, config.model, config.train
     dense_geom, sparse_geom = build_geometries(gc)
     # use_bfloat16 applies to BOTH the networks and the physics operators'
     # matmul operands (phases/trig stay f32 inside the ops)
     dtype = jnp.bfloat16 if mc.use_bfloat16 else jnp.float32
+    ops_sparse_local = None  # unsharded twin for batchless utility calls
     if gc.kind == "fan":
         from pdunet_tpu.ops.radon.fan import make_fan_ops
 
+        if mesh is not None:
+            raise NotImplementedError(
+                "angle sharding is parallel-beam only (fan/radial geometries "
+                "train data-parallel; SURVEY.md §2d)"
+            )
         ops_dense = make_fan_ops(dense_geom, dtype=dtype)
         ops_sparse = make_fan_ops(sparse_geom, dtype=dtype)
     elif gc.kind == "radial":
         from pdunet_tpu.ops.nufft import make_radial_ops
 
+        if mesh is not None:
+            raise NotImplementedError(
+                "angle sharding is parallel-beam only (fan/radial geometries "
+                "train data-parallel; SURVEY.md §2d)"
+            )
         ops_dense = make_radial_ops(dense_geom, dtype=dtype)
         ops_sparse = make_radial_ops(sparse_geom, dtype=dtype)
     else:
-        ops_dense = make_parallel_ops(dense_geom, dtype=dtype)
-        ops_sparse = make_parallel_ops(sparse_geom, dtype=dtype)
+        ops_dense = make_parallel_ops(dense_geom, dtype=dtype, mesh=mesh,
+                                      angle_axis=angle_axis,
+                                      batch_axis=batch_axis)
+        ops_sparse = make_parallel_ops(sparse_geom, dtype=dtype, mesh=mesh,
+                                       angle_axis=angle_axis,
+                                       batch_axis=batch_axis)
+        if mesh is not None:
+            # power iteration runs on a single (N, N) image — not shardable
+            # over a batch axis; σ is a property of the operator, identical
+            ops_sparse_local = make_parallel_ops(sparse_geom, dtype=dtype)
     loss = _loss(tc.loss)
     N = gc.image_size
     B = tc.batch_size
@@ -298,12 +322,20 @@ def build_task(config: ExperimentConfig) -> Task:
             A_d, S = ops_dense.sino_shape
             return model.init(key, jnp.zeros((1, A_d, S, 2)))["params"]
 
+        # Hard data consistency (net-domain): sorted row j is a measured
+        # spoke iff its dense-sequence index is in the golden-angle prefix
+        # (subsample keeps spokes 0..A_s-1); interp_upsample_spokes snaps
+        # exact angle hits to the source spoke, so k_in_w carries the exact
+        # measurement on those rows — re-impose them on the output.
+        _measured_rows = jnp.asarray(_perm < A_s)[:, None]
+
         def predict_kw(params, batch):
             x = jnp.stack(
                 [jnp.real(batch["k_in_w"]), jnp.imag(batch["k_in_w"])], axis=-1
             )
             out = model.apply({"params": params}, x)
-            return batch["k_in_w"] + jax.lax.complex(out[..., 0], out[..., 1])
+            pred = batch["k_in_w"] + jax.lax.complex(out[..., 0], out[..., 1])
+            return jnp.where(_measured_rows, batch["k_in_w"], pred)
 
         def recon_fn(params, batch):
             pred = from_net_domain(predict_kw(params, batch))
@@ -341,6 +373,16 @@ def build_task(config: ExperimentConfig) -> Task:
                          recon_fn, config, N, batch_from_images)
 
     if mc.kind == "sino_unet":
+        if gc.kind == "fan":
+            # interp_upsample_angles' past-the-end wrap uses the parallel-beam
+            # symmetry p(θ+π, s) = p(θ, −s); for fan sinograms the conjugate
+            # ray lives at β+π−2γ with a nonlinearly remapped detector axis,
+            # so the wrap (and hence this task formulation) is invalid.
+            raise ValueError(
+                "sino_unet is not defined for fan geometry: the angular "
+                "upsampling wrap relies on parallel-beam detector-flip "
+                "symmetry. Use parallel (sino_unet) or fan (pdunet/fbp_unet)."
+            )
         model = UNet(out_channels=1, base_features=mc.base_features,
                      depth=mc.depth, stem=mc.stem, dtype=dtype)
         k = gc.sparsity
@@ -360,9 +402,18 @@ def build_task(config: ExperimentConfig) -> Task:
             S = dense_geom.det_count
             return model.init(key, jnp.zeros((1, A, S, 1)))["params"]
 
+        # Hard data consistency: dense row i is an actual measurement iff
+        # i % k == 0 (subsample_angles keeps every k-th row) and
+        # interp_upsample_angles passes those rows through exactly, so
+        # re-imposing them on the network output guarantees the prediction
+        # never degrades measured data — the UNet only fills interpolated
+        # rows. Static (A,1) mask broadcast, TPU-friendly (no gathers).
+        measured_rows = (jnp.arange(dense_geom.n_angles) % k == 0)[:, None]
+
         def predict_sino(params, batch):
             x = batch["sino_in"][..., None]
-            return batch["sino_in"] + model.apply({"params": params}, x)[..., 0]
+            pred = batch["sino_in"] + model.apply({"params": params}, x)[..., 0]
+            return jnp.where(measured_rows, batch["sino_in"], pred)
 
         def recon_fn(params, batch):
             return ops_dense.fbp(predict_sino(params, batch))
@@ -401,8 +452,9 @@ def build_task(config: ExperimentConfig) -> Task:
         # regardless of geometry — the raw NUFFT adjoint, e.g., has norm in
         # the thousands. The 1/σ factors are plain closures around the
         # custom_vjp ops, so gradients stay exactly paired.
+        opnorm_ops = ops_sparse_local if ops_sparse_local is not None else ops_sparse
         sigma = estimate_opnorm(
-            ops_sparse.A, ops_sparse.At, (N, N), is_complex=is_complex
+            opnorm_ops.A, opnorm_ops.At, (N, N), is_complex=is_complex
         )
         A_n = lambda f: ops_sparse.A(f) / sigma
         At_n = lambda p: ops_sparse.At(p) / sigma
@@ -471,8 +523,9 @@ def build_task(config: ExperimentConfig) -> Task:
                 return jnp.abs(predict_c(params, batch))
 
             def loss_fn(params, batch):
-                diff = predict_c(params, batch) - batch["image_c"]
-                return jnp.mean(jnp.abs(diff)), {}
+                # tc.loss applies on the complex residual (losses.* reduce
+                # |d| / |d|² so complex inputs yield a real scalar)
+                return loss(predict_c(params, batch), batch["image_c"]), {}
 
             def batch_from_images(img, key=None):
                 # (re, im) pair → complex on device (axon: complex64 cannot

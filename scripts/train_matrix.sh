@@ -1,22 +1,27 @@
 #!/usr/bin/env bash
 # Train the full experiment matrix sequentially on the TPU (single-client
 # chip: never run two device processes at once) and evaluate each preset.
-# Usage: bash scripts/train_matrix.sh [preset ...]   (default: all five)
+# Usage: bash scripts/train_matrix.sh [preset ...]   (default: all seven)
 set -u
 cd "$(dirname "$0")/.."
 
 PRESETS=("$@")
 if [ ${#PRESETS[@]} -eq 0 ]; then
-  PRESETS=(pdunet_radial pdunet_parallel fbp_unet_parallel sino_unet_parallel pdunet_fan)
+  PRESETS=(pdunet_radial pdunet_parallel sino_unet_radial pdunet_fan
+           sino_unet_parallel lpd_parallel fbp_unet_parallel)
 fi
 
+# Direct-to-final budgets: resuming with a larger --steps recompiles the
+# whole train step (LR-schedule constants are baked into the jaxpr), so
+# train the target budget in one go rather than extend.
 declare -A STEPS=(
-  [pdunet_parallel]=8000
-  [fbp_unet_parallel]=5000
-  [sino_unet_parallel]=4000
-  [pdunet_fan]=5000
-  [pdunet_radial]=6000
-  [lpd_parallel]=5000
+  [pdunet_parallel]=16000
+  [fbp_unet_parallel]=8000
+  [sino_unet_parallel]=10000
+  [sino_unet_radial]=12000
+  [pdunet_fan]=10000
+  [pdunet_radial]=12000
+  [lpd_parallel]=8000
 )
 
 mkdir -p runs

@@ -132,3 +132,99 @@ def test_make_mesh_shape_validation():
 
     with pytest.raises(ValueError, match="mesh shape"):
         make_mesh(8, axes=("data", "angle"), shape=(4, 4))
+
+
+# --- Product path: angle-sharded operator bundles inside a real train
+# step (SURVEY.md §5.7 beyond-HBM recipe; train.py --angle-devices) ---
+
+
+def test_angle_sharded_ops_bundle_matches(full_plan, mesh2d, rng):
+    """make_parallel_ops(mesh=...) is a drop-in bundle: A/At/fbp match the
+    unsharded bundle, and the custom_vjp pairing holds through jax.grad."""
+    from pdunet_tpu.ops.radon.parallel import make_parallel_ops
+
+    ops = make_parallel_ops(FULL_GEOM)
+    ops_sh = make_parallel_ops(FULL_GEOM, mesh=mesh2d, batch_axis="data")
+    f = jnp.asarray(rng.standard_normal((4, 32, 32)), jnp.float32)
+    sino = ops.A(f)
+    np.testing.assert_allclose(
+        np.asarray(ops_sh.A(f)), np.asarray(sino), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ops_sh.At(sino)), np.asarray(ops.At(sino)), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ops_sh.fbp(sino)), np.asarray(ops.fbp(sino)), atol=1e-4)
+    # gradient through the sharded A == unsharded (custom_vjp → At)
+    g = jax.grad(lambda x: jnp.sum(ops_sh.A(x) ** 2))(f)
+    g_ref = jax.grad(lambda x: jnp.sum(ops.A(x) ** 2))(f)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-3)
+
+
+def test_pdunet_trains_on_data_angle_mesh(mesh2d):
+    """The flagship PD-UNet train step on the (4 data x 2 angle) mesh equals
+    the single-device step: angle-sharded custom_vjp ops inside the unroll,
+    psum over angle inside the op adjoints, psum over data for gradients."""
+    import dataclasses
+
+    import optax
+    from flax.training import train_state
+
+    from pdunet_tpu.configs import get_preset
+    from pdunet_tpu.parallel import make_sharded_train_step, replicate
+    from pdunet_tpu.training.loop import make_train_step
+    from pdunet_tpu.training.tasks import build_task
+
+    config = get_preset("pdunet_parallel")
+    config = dataclasses.replace(
+        config,
+        geometry=dataclasses.replace(
+            config.geometry, image_size=32, n_angles=40, sparsity=4
+        ),
+        model=dataclasses.replace(
+            config.model, base_features=8, depth=1, n_iters=2,
+            use_bfloat16=False,
+        ),
+        train=dataclasses.replace(config.train, batch_size=8),
+    )
+    task_1 = build_task(config)
+    task_sh = build_task(config, mesh=mesh2d, batch_axis="data")
+
+    key = jax.random.PRNGKey(11)
+    sgd = optax.sgd(1e-2)
+    params = task_1.init_params(jax.random.PRNGKey(1))
+
+    state_1 = train_state.TrainState.create(apply_fn=None, params=params, tx=sgd)
+    state_1_next, metrics_1 = make_train_step(task_1, donate=False)(state_1, key)
+
+    state_sh = replicate(
+        train_state.TrainState.create(apply_fn=None, params=params, tx=sgd),
+        mesh2d,
+    )
+    step_sh = make_sharded_train_step(task_sh, mesh2d, donate=False)
+    state_sh_next, metrics_sh = step_sh(state_sh, key)
+
+    np.testing.assert_allclose(
+        float(metrics_1["loss"]), float(metrics_sh["loss"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_1_next.params),
+        jax.tree_util.tree_leaves(state_sh_next.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_angle_shard_rejected_for_fan_radial():
+    import dataclasses
+
+    from pdunet_tpu.configs import get_preset
+    from pdunet_tpu.parallel import make_mesh
+    from pdunet_tpu.training.tasks import build_task
+
+    mesh = make_mesh(8, axes=("data", "angle"), shape=(4, 2))
+    config = get_preset("pdunet_fan")
+    config = dataclasses.replace(
+        config,
+        geometry=dataclasses.replace(config.geometry, image_size=32,
+                                     n_angles=40),
+    )
+    with pytest.raises(NotImplementedError, match="parallel-beam only"):
+        build_task(config, mesh=mesh, batch_axis="data")

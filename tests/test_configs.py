@@ -51,3 +51,22 @@ def test_override_unknown_key_errors():
     config = get_preset("fbp_unet_parallel")
     with pytest.raises(Exception):
         config.override({"train.no_such_field": "1"})
+
+
+def test_sino_unet_fan_combo_rejected():
+    """sino_unet + fan geometry is physically invalid (the angular-upsampling
+    wrap uses parallel-beam detector-flip symmetry) — build_task must refuse
+    loudly instead of silently training a wrong model."""
+    import dataclasses
+
+    from pdunet_tpu.training.tasks import build_task
+
+    config = get_preset("pdunet_fan")
+    config = dataclasses.replace(
+        config,
+        geometry=dataclasses.replace(config.geometry, image_size=32,
+                                     n_angles=40),
+        model=dataclasses.replace(config.model, kind="sino_unet"),
+    )
+    with pytest.raises(ValueError, match="parallel-beam"):
+        build_task(config)

@@ -92,3 +92,82 @@ def test_sharded_multi_step_training(task):
         state, metrics = step(state, jax.random.PRNGKey(i))
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
+
+
+@pytest.fixture(scope="module")
+def pdunet_task():
+    # The flagship unroll: custom_vjp physics ops inside nn.scan under the
+    # data-axis psum — the composition that could actually break sharding
+    # semantics (plain convs alone can't exercise it).
+    config = get_preset("pdunet_parallel")
+    config = dataclasses.replace(
+        config,
+        geometry=dataclasses.replace(
+            config.geometry, image_size=32, n_angles=40, sparsity=4
+        ),
+        model=dataclasses.replace(
+            config.model, base_features=8, depth=1, n_iters=2,
+            use_bfloat16=False,
+        ),
+        train=dataclasses.replace(config.train, batch_size=8),
+    )
+    return build_task(config)
+
+
+def test_pdunet_sharded_step_matches_single(pdunet_task):
+    """1-vs-8-device equality for the PD-UNet unroll (SURVEY.md §4.2 tier 6:
+    the custom_vjp operator gradients must psum identically to the
+    single-device batch contraction)."""
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(7)
+    sgd = optax.sgd(1e-2)
+
+    state_1 = _fresh_state(pdunet_task, tx=sgd)
+    step_1 = make_train_step(pdunet_task, donate=False)
+    state_1_next, metrics_1 = step_1(state_1, key)
+
+    state_8 = replicate(_fresh_state(pdunet_task, tx=sgd), mesh)
+    step_8 = make_sharded_train_step(pdunet_task, mesh, donate=False)
+    state_8_next, metrics_8 = step_8(state_8, key)
+
+    np.testing.assert_allclose(
+        float(metrics_1["loss"]), float(metrics_8["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics_1["grad_norm"]), float(metrics_8["grad_norm"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_1_next.params),
+        jax.tree_util.tree_leaves(state_8_next.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_from_images_matches_single(task):
+    """File-backed multi-chip: host-loaded images enter the sharded jit and
+    the in-jit measurement synthesis + gradient psum must match the
+    single-device step on the same images."""
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(3)
+    sgd = optax.sgd(1e-2)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((8, 32, 32)), jnp.float32)
+
+    state_1 = _fresh_state(task, tx=sgd)
+    step_1 = make_train_step(task, donate=False, from_images=True)
+    state_1_next, metrics_1 = step_1(state_1, key, images)
+
+    state_8 = replicate(_fresh_state(task, tx=sgd), mesh)
+    step_8 = make_sharded_train_step(
+        task, mesh, donate=False, from_images=True
+    )
+    state_8_next, metrics_8 = step_8(state_8, key, images)
+
+    np.testing.assert_allclose(
+        float(metrics_1["loss"]), float(metrics_8["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_1_next.params),
+        jax.tree_util.tree_leaves(state_8_next.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -36,6 +36,11 @@ def parse_args(argv=None):
                    help="force JAX platform (cpu for local dev; default: env)")
     p.add_argument("--devices", type=int, default=None,
                    help="data-parallel device count (mesh over the first N devices)")
+    p.add_argument("--angle-devices", type=int, default=None,
+                   help="angle-shard the physics operators over this many "
+                        "devices (parallel-beam only; composes with "
+                        "--devices into a data x angle mesh — the "
+                        "beyond-HBM recipe, SURVEY.md §5.7)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 10-15 here")
     p.add_argument("--dump-hlo", default=None, metavar="DIR",
@@ -112,7 +117,8 @@ def main(argv=None):
 
     result = train(
         config, steps=args.steps, metrics_path=args.metrics, verbose=True,
-        n_devices=args.devices, profile_dir=args.profile_dir,
+        n_devices=args.devices, angle_devices=args.angle_devices,
+        profile_dir=args.profile_dir,
         tb_dir=args.tb_dir, data=args.data, split=args.split,
         checked=args.checkify,
     )
