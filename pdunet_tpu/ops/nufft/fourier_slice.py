@@ -135,25 +135,37 @@ def build_fs_plan(geom: RadialGeometry, dtype=jnp.float32, oversamp: int = 2) ->
     ))
 
 
-def _project_complex(plan, z):
-    """parallel_project on a complex batch via (Re, Im) stacking."""
+def _project_complex(plan, z, mesh=None, angle_axis="angle", batch_axis=None):
+    """parallel_project on a complex batch via (Re, Im) stacking.
+
+    The stack doubles the leading batch, so a batch divisible by the mesh's
+    ``batch_axis`` stays divisible — callers pad the complex batch first."""
     stacked = jnp.concatenate([z.real, z.imag], axis=0)
-    p = parallel_project(plan, stacked)
+    p = parallel_project(plan, stacked, mesh=mesh, angle_axis=angle_axis,
+                         batch_axis=batch_axis)
     B = z.shape[0]
     return p[:B], p[B:]
 
 
-def _backproject_complex(plan, pr, pi):
+def _backproject_complex(plan, pr, pi, mesh=None, angle_axis="angle",
+                         batch_axis=None):
     stacked = jnp.concatenate([pr, pi], axis=0)
-    f = parallel_backproject(plan, stacked)
+    f = parallel_backproject(plan, stacked, mesh=mesh, angle_axis=angle_axis,
+                             batch_axis=batch_axis)
     B = pr.shape[0]
     return jax.lax.complex(f[:B], f[B:])
 
 
-def fs_nufft_forward(plan: FsPlan, image: jnp.ndarray) -> jnp.ndarray:
-    """(..., N, N) complex → (..., n_spokes, n_samples) complex."""
+def fs_nufft_forward(plan: FsPlan, image: jnp.ndarray, mesh=None,
+                     angle_axis: str = "angle",
+                     batch_axis: str = None) -> jnp.ndarray:
+    """(..., N, N) complex → (..., n_spokes, n_samples) complex.
+
+    ``mesh``: spoke-shard the underlying parallel projection (spokes ARE
+    the plan's angle axis under the projection-slice theorem); the small
+    per-spoke NUDFT matmuls (Ec/Es) and phases stay global."""
     z, restore = _collapse_batch(image.astype(jnp.complex64), 2)
-    pr, pi = _project_complex(plan.par_plan, z)
+    pr, pi = _project_complex(plan.par_plan, z, mesh, angle_axis, batch_axis)
     fl = plan.flip[None, :, None]
     pr = fl * pr[..., ::-1] + (1.0 - fl) * pr
     pi = fl * pi[..., ::-1] + (1.0 - fl) * pi
@@ -166,7 +178,9 @@ def fs_nufft_forward(plan: FsPlan, image: jnp.ndarray) -> jnp.ndarray:
     return restore(jax.lax.complex(out_r, out_i))
 
 
-def fs_nufft_adjoint(plan: FsPlan, kdata: jnp.ndarray) -> jnp.ndarray:
+def fs_nufft_adjoint(plan: FsPlan, kdata: jnp.ndarray, mesh=None,
+                     angle_axis: str = "angle",
+                     batch_axis: str = None) -> jnp.ndarray:
     """Exact transpose of :func:`fs_nufft_forward` (conjugate-transpose in
     the complex sense: ⟨Ax, y⟩ = ⟨x, A†y⟩ with conjugating inner products)."""
     k, restore = _collapse_batch(kdata.astype(jnp.complex64), 2)
@@ -179,4 +193,5 @@ def fs_nufft_adjoint(plan: FsPlan, kdata: jnp.ndarray) -> jnp.ndarray:
     fl = plan.flip[None, :, None]
     pr = fl * pr[..., ::-1] + (1.0 - fl) * pr
     pi = fl * pi[..., ::-1] + (1.0 - fl) * pi
-    return restore(_backproject_complex(plan.par_plan, pr, pi))
+    return restore(_backproject_complex(plan.par_plan, pr, pi, mesh,
+                                        angle_axis, batch_axis))

@@ -227,6 +227,9 @@ def make_radial_ops(
     J: int = 4,
     impl: str = "fourier_slice",
     dtype=None,
+    mesh=None,
+    angle_axis: str = "angle",
+    batch_axis: str = None,
 ) -> NufftOps:
     """Differentiable radial NUFFT bundle.
 
@@ -234,6 +237,9 @@ def make_radial_ops(
     TPU production path (see ops/nufft/fourier_slice.py).
     impl="gridding": Kaiser-Bessel gather/scatter — the numerical oracle
     (and the general-trajectory fallback).
+    ``mesh``: spoke-shard the fast path's underlying parallel projection
+    over ``angle_axis`` (SURVEY.md §5.7; fourier_slice only — gridding is
+    the oracle and stays single-device).
     """
     if impl == "fourier_slice":
         from pdunet_tpu.ops.nufft.fourier_slice import (
@@ -246,27 +252,53 @@ def make_radial_ops(
 
         fs_plan = build_fs_plan(geom, dtype=dtype or _jnp.float32)
 
+        if mesh is not None:
+            from pdunet_tpu.ops.radon.parallel import make_batch_padder
+
+            pad_batch = make_batch_padder(mesh, batch_axis)
+
+            def _through(fn, x):
+                # pad the COMPLEX batch: the fs pipeline stacks (Re, Im)
+                # along batch, so divisibility by the data axis is preserved
+                lead = x.shape[:-2]
+                xb = x.reshape((-1,) + x.shape[-2:])
+                xb, pad = pad_batch(xb)
+                out = fn(xb)
+                if pad:
+                    out = out[: out.shape[0] - pad]
+                return out.reshape(lead + out.shape[1:])
+
+            _fwd = lambda f: _through(
+                lambda x: fs_nufft_forward(fs_plan, x, mesh, angle_axis,
+                                           batch_axis), f)
+            _adj = lambda k: _through(
+                lambda x: fs_nufft_adjoint(fs_plan, x, mesh, angle_axis,
+                                           batch_axis), k)
+        else:
+            _fwd = lambda f: fs_nufft_forward(fs_plan, f)
+            _adj = lambda k: fs_nufft_adjoint(fs_plan, k)
+
         @jax.custom_vjp
         def A(f):
-            return fs_nufft_forward(fs_plan, f)
+            return _fwd(f)
 
         def A_fwd(f):
             return A(f), None
 
         def A_bwd(_, g):
-            return (jnp.conj(fs_nufft_adjoint(fs_plan, jnp.conj(g))),)
+            return (jnp.conj(_adj(jnp.conj(g))),)
 
         A.defvjp(A_fwd, A_bwd)
 
         @jax.custom_vjp
         def At(k):
-            return fs_nufft_adjoint(fs_plan, k)
+            return _adj(k)
 
         def At_fwd(k):
             return At(k), None
 
         def At_bwd(_, g):
-            return (jnp.conj(fs_nufft_forward(fs_plan, jnp.conj(g))),)
+            return (jnp.conj(_fwd(jnp.conj(g))),)
 
         At.defvjp(At_fwd, At_bwd)
 
@@ -288,6 +320,11 @@ def make_radial_ops(
 
     if impl != "gridding":
         raise ValueError(f"unknown NUFFT impl {impl!r}")
+    if mesh is not None:
+        raise NotImplementedError(
+            "mesh sharding applies to the fourier_slice fast path only; the "
+            "gridding oracle is single-device by design"
+        )
     plan = build_nufft_plan(geom, oversamp, J)
 
     # Complex custom_vjp: JAX's cotangent convention for C-linear maps is

@@ -221,21 +221,32 @@ def _scatter_rows_T(y: jnp.ndarray, base: jnp.ndarray, frac: jnp.ndarray,
     return jnp.moveaxis((1.0 - w) * v0 + w * v1, 2, 1)
 
 
-def fan_project(plan: FanPlan, image: jnp.ndarray) -> jnp.ndarray:
+def fan_project(plan: FanPlan, image: jnp.ndarray, mesh=None,
+                angle_axis: str = "angle",
+                batch_axis: str = None) -> jnp.ndarray:
+    """``mesh``: angle-shard the extended-grid parallel projection (the
+    FLOPs- and memory-dominant stage; SURVEY.md §5.7) — the rebin gathers
+    and the 2-banded detector matmul stay global (cheap bandwidth ops)."""
     meta = plan.meta
     f, restore = _collapse_batch(image, 2)
-    p_par = parallel_project(plan.par_plan, f)               # (B, n_ext, S_par)
+    p_par = parallel_project(plan.par_plan, f, mesh=mesh,
+                             angle_axis=angle_axis,
+                             batch_axis=batch_axis)          # (B, n_ext, S_par)
     q = jnp.einsum("bis,su->biu", p_par, plan.Ms)            # detector resample
     p_fan = _gather_rows(q, plan.c0, plan.cf, meta["n_beta"], meta["pad_beta"])
     return restore(p_fan)
 
 
-def fan_backproject(plan: FanPlan, sino: jnp.ndarray) -> jnp.ndarray:
+def fan_backproject(plan: FanPlan, sino: jnp.ndarray, mesh=None,
+                    angle_axis: str = "angle",
+                    batch_axis: str = None) -> jnp.ndarray:
     meta = plan.meta
     p, restore = _collapse_batch(sino, 2)
     q_t = _scatter_rows_T(p, plan.c0, plan.cf, meta["n_ext"], meta["pad_beta"])
     p_par = jnp.einsum("biu,su->bis", q_t, plan.Ms)
-    return restore(parallel_backproject(plan.par_plan, p_par))
+    return restore(parallel_backproject(plan.par_plan, p_par, mesh=mesh,
+                                        angle_axis=angle_axis,
+                                        batch_axis=batch_axis))
 
 
 def fan_rebin_to_parallel(plan: FanPlan, sino: jnp.ndarray) -> jnp.ndarray:
@@ -259,42 +270,73 @@ def fan_rebin_to_parallel(plan: FanPlan, sino: jnp.ndarray) -> jnp.ndarray:
     return restore(p_ext)
 
 
-def make_fan_ops(geom: FanGeometry, dtype=jnp.float32) -> RadonOps:
-    """Differentiable fan-beam operator bundle (same interface as parallel)."""
+def make_fan_ops(geom: FanGeometry, dtype=jnp.float32, mesh=None,
+                 angle_axis: str = "angle",
+                 batch_axis: str = None) -> RadonOps:
+    """Differentiable fan-beam operator bundle (same interface as parallel).
+
+    ``mesh``: angle-shard the underlying extended-grid parallel projector
+    over ``angle_axis`` (the beyond-HBM path, SURVEY.md §5.7); the batch is
+    zero-padded up to the ``batch_axis`` size so traced batch-1 inits and
+    ragged eval batches work."""
     from pdunet_tpu.ops.radon.filtering import filter_sinogram
+    from pdunet_tpu.ops.radon.parallel import make_batch_padder
 
     plan = build_fan_plan(geom, dtype)
     ds = plan.par_plan.geom.det_spacing
+    if mesh is not None:
+        pad_batch = make_batch_padder(mesh, batch_axis)
+
+        def through(fn, x):
+            xb, restore = _collapse_batch(x, 2)
+            xb, pad = pad_batch(xb)
+            out = fn(xb)
+            return restore(out[: out.shape[0] - pad] if pad else out)
+
+        _proj = lambda f: through(
+            lambda x: fan_project(plan, x, mesh, angle_axis, batch_axis), f)
+        _bproj = lambda p: through(
+            lambda x: fan_backproject(plan, x, mesh, angle_axis, batch_axis), p)
+    else:
+        _proj = lambda f: fan_project(plan, f)
+        _bproj = lambda p: fan_backproject(plan, p)
 
     @jax.custom_vjp
     def A(f):
-        return fan_project(plan, f)
+        return _proj(f)
 
     def A_fwd(f):
         return A(f), None
 
     def A_bwd(_, g):
-        return (fan_backproject(plan, g),)
+        return (_bproj(g),)
 
     A.defvjp(A_fwd, A_bwd)
 
     @jax.custom_vjp
     def At(p):
-        return fan_backproject(plan, p)
+        return _bproj(p)
 
     def At_fwd(p):
         return At(p), None
 
     def At_bwd(_, g):
-        return (fan_project(plan, g),)
+        return (_proj(g),)
 
     At.defvjp(At_fwd, At_bwd)
 
     def fbp(p, filter_name: str = "ramp"):
         pf, restore = _collapse_batch(p, 2)
+        if mesh is not None:
+            pf, pad = pad_batch(pf)
         p_ext = fan_rebin_to_parallel(plan, pf)
         filt = filter_sinogram(p_ext, ds, filter_name) * plan.wrow[None, :, None]
-        return restore(parallel_backproject(plan.par_plan, filt))
+        out = parallel_backproject(plan.par_plan, filt, mesh=mesh,
+                                   angle_axis=angle_axis,
+                                   batch_axis=batch_axis)
+        if mesh is not None and pad:
+            out = out[: out.shape[0] - pad]
+        return restore(out)
 
     return RadonOps(
         A=A,

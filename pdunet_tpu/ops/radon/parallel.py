@@ -119,6 +119,23 @@ def _backproject_group(p, pos, shift, spec, Wc, Ws, L, contract_x: bool,
             + _ein(sub1t, h_im.astype(cdt), Ts))
 
 
+def make_batch_padder(mesh, batch_axis):
+    """shard_map needs the leading batch divisible by the data axis; pad
+    with zero slices (model.init traces with batch 1, eval batches may be
+    ragged) and let the caller slice the pad back off after."""
+    D = mesh.shape[batch_axis] if batch_axis else 1
+
+    def pad_batch(xb):
+        pad = (-xb.shape[0]) % D
+        if pad:
+            xb = jnp.concatenate(
+                [xb, jnp.zeros((pad,) + xb.shape[1:], xb.dtype)], axis=0
+            )
+        return xb, pad
+
+    return pad_batch
+
+
 # 'auto' uses the fused Pallas kernels on TPU and the einsum pipeline (the
 # jnp twin, SURVEY.md §4.2 tier 4) elsewhere. Overridable per call or
 # globally (set_default_impl) for A/B benchmarking.
@@ -139,8 +156,21 @@ def _resolve_impl(impl):
     return impl
 
 
-def parallel_project(plan: ParallelPlan, image: jnp.ndarray, impl: str = None) -> jnp.ndarray:
-    """Factored parallel-beam forward projection. image (..., N, N) → (..., A, S)."""
+def parallel_project(plan: ParallelPlan, image: jnp.ndarray, impl: str = None,
+                     mesh=None, angle_axis: str = "angle",
+                     batch_axis: str = None) -> jnp.ndarray:
+    """Factored parallel-beam forward projection. image (..., N, N) → (..., A, S).
+
+    ``mesh``: shard the angle axis over ``angle_axis`` of the mesh
+    (parallel/angle_shard.py) — the per-shard bodies still honor ``impl``.
+    The fan and NUFFT operators compose through this entry point, so one
+    mesh argument angle-shards all three modalities."""
+    if mesh is not None:
+        from pdunet_tpu.parallel.angle_shard import angle_sharded_project
+
+        f, restore = _collapse_batch(image, 2)
+        return restore(angle_sharded_project(
+            plan, f, mesh, angle_axis, batch_axis, impl))
     meta = plan.meta
     L = meta["S_ext"]
     cdt = _CDT[meta.get("compute_dtype", "float32")]
@@ -164,8 +194,16 @@ def parallel_project(plan: ParallelPlan, image: jnp.ndarray, impl: str = None) -
     return restore(p.astype(image.dtype))
 
 
-def parallel_backproject(plan: ParallelPlan, sino: jnp.ndarray, impl: str = None) -> jnp.ndarray:
+def parallel_backproject(plan: ParallelPlan, sino: jnp.ndarray, impl: str = None,
+                         mesh=None, angle_axis: str = "angle",
+                         batch_axis: str = None) -> jnp.ndarray:
     """Exact transpose of :func:`parallel_project`. sino (..., A, S) → (..., N, N)."""
+    if mesh is not None:
+        from pdunet_tpu.parallel.angle_shard import angle_sharded_backproject
+
+        p, restore = _collapse_batch(sino, 2)
+        return restore(angle_sharded_backproject(
+            plan, p, mesh, angle_axis, batch_axis, impl))
     meta = plan.meta
     N, L = meta["N"], meta["S_ext"]
     cdt = _CDT[meta.get("compute_dtype", "float32")]
@@ -294,18 +332,7 @@ def make_parallel_ops(geom: ParallelGeometry, dtype=jnp.float32, mesh=None,
             angle_sharded_project,
         )
 
-        D = mesh.shape[batch_axis] if batch_axis else 1
-
-        def _pad_batch(xb):
-            # shard_map needs the batch divisible by the data axis; pad with
-            # zero slices (model.init traces with batch 1, eval batches may
-            # be ragged) and slice the pad back off after
-            pad = (-xb.shape[0]) % D
-            if pad:
-                xb = jnp.concatenate(
-                    [xb, jnp.zeros((pad,) + xb.shape[1:], xb.dtype)], axis=0
-                )
-            return xb, pad
+        _pad_batch = make_batch_padder(mesh, batch_axis)
 
         def _proj(f):
             fb, restore = _collapse_batch(f, 2)

@@ -143,8 +143,8 @@ def train(
     overfit smoke-test mode of SURVEY.md §4.2 tier 5).
     ``n_devices``: >1 shards the batch over a data-parallel mesh (XLA psum
     over ICI; SURVEY.md §2d). ``angle_devices``: >1 additionally shards the
-    physics operators' angle axis over that many devices (parallel-beam
-    only; the beyond-HBM axis of SURVEY.md §5.7) — the mesh becomes
+    physics operators' angle axis over that many devices (all three
+    geometries; the beyond-HBM axis of SURVEY.md §5.7) — the mesh becomes
     (data=n_devices, angle=angle_devices) over n_devices·angle_devices
     chips. ``profile_dir``: capture a jax.profiler trace
     of steps 10-15 (SURVEY.md §5.1).

@@ -143,45 +143,38 @@ def _maybe_noise(key, sino, photons):
 def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                batch_axis: str = None) -> Task:
     """``mesh``: angle-shard the physics operators over ``angle_axis`` of the
-    given jax.sharding.Mesh (parallel-beam only; SURVEY.md §5.7 beyond-HBM
-    path). ``batch_axis`` names the mesh axis the batch is sharded over so
-    the 2-D data x angle composition holds inside the ops."""
+    given jax.sharding.Mesh (SURVEY.md §5.7 beyond-HBM path — all three
+    geometries: parallel directly, fan through its extended-grid backing
+    projector, radial through the projection-slice spoke axis).
+    ``batch_axis`` names the mesh axis the batch is sharded over so the
+    2-D data x angle composition holds inside the ops."""
     gc, mc, tc = config.geometry, config.model, config.train
     dense_geom, sparse_geom = build_geometries(gc)
     # use_bfloat16 applies to BOTH the networks and the physics operators'
     # matmul operands (phases/trig stay f32 inside the ops)
     dtype = jnp.bfloat16 if mc.use_bfloat16 else jnp.float32
     ops_sparse_local = None  # unsharded twin for batchless utility calls
+    shard_kw = dict(mesh=mesh, angle_axis=angle_axis, batch_axis=batch_axis)
     if gc.kind == "fan":
         from pdunet_tpu.ops.radon.fan import make_fan_ops
 
+        ops_dense = make_fan_ops(dense_geom, dtype=dtype, **shard_kw)
+        ops_sparse = make_fan_ops(sparse_geom, dtype=dtype, **shard_kw)
         if mesh is not None:
-            raise NotImplementedError(
-                "angle sharding is parallel-beam only (fan/radial geometries "
-                "train data-parallel; SURVEY.md §2d)"
-            )
-        ops_dense = make_fan_ops(dense_geom, dtype=dtype)
-        ops_sparse = make_fan_ops(sparse_geom, dtype=dtype)
+            ops_sparse_local = make_fan_ops(sparse_geom, dtype=dtype)
     elif gc.kind == "radial":
         from pdunet_tpu.ops.nufft import make_radial_ops
 
+        ops_dense = make_radial_ops(dense_geom, dtype=dtype, **shard_kw)
+        ops_sparse = make_radial_ops(sparse_geom, dtype=dtype, **shard_kw)
         if mesh is not None:
-            raise NotImplementedError(
-                "angle sharding is parallel-beam only (fan/radial geometries "
-                "train data-parallel; SURVEY.md §2d)"
-            )
-        ops_dense = make_radial_ops(dense_geom, dtype=dtype)
-        ops_sparse = make_radial_ops(sparse_geom, dtype=dtype)
+            ops_sparse_local = make_radial_ops(sparse_geom, dtype=dtype)
     else:
-        ops_dense = make_parallel_ops(dense_geom, dtype=dtype, mesh=mesh,
-                                      angle_axis=angle_axis,
-                                      batch_axis=batch_axis)
-        ops_sparse = make_parallel_ops(sparse_geom, dtype=dtype, mesh=mesh,
-                                       angle_axis=angle_axis,
-                                       batch_axis=batch_axis)
+        ops_dense = make_parallel_ops(dense_geom, dtype=dtype, **shard_kw)
+        ops_sparse = make_parallel_ops(sparse_geom, dtype=dtype, **shard_kw)
         if mesh is not None:
-            # power iteration runs on a single (N, N) image — not shardable
-            # over a batch axis; σ is a property of the operator, identical
+            # power iteration runs on a single (N, N) image — cheaper on the
+            # unsharded twin; σ is a property of the operator, identical
             ops_sparse_local = make_parallel_ops(sparse_geom, dtype=dtype)
     loss = _loss(tc.loss)
     N = gc.image_size

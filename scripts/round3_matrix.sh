@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Round-3 matrix: fresh runs for the sino presets (task semantics changed:
+# hard data consistency + spoke-interp wrap-parity fix) and extensions for
+# the rest (runs/ survived from round 2; --resume auto picks them up).
+set -u
+cd "$(dirname "$0")/.."
+
+declare -A STEPS=(
+  [sino_unet_radial]=14000
+  [sino_unet_parallel]=12000
+  [pdunet_radial]=16000
+  [pdunet_fan]=16000
+  [pdunet_parallel]=24000
+  [lpd_parallel]=10000
+  [fbp_unet_parallel]=14000
+)
+ORDER=(sino_unet_radial sino_unet_parallel pdunet_radial pdunet_fan
+       pdunet_parallel lpd_parallel fbp_unet_parallel)
+
+mkdir -p runs
+for p in "${ORDER[@]}"; do
+  steps="${STEPS[$p]}"
+  echo "=== [$(date +%H:%M:%S)] train $p -> $steps steps"
+  timeout 14400 python train.py --preset "$p" --steps "$steps" \
+    --ckpt-dir "runs/$p" --metrics "runs/$p.jsonl" --resume auto \
+    || { echo "TRAIN FAILED: $p"; continue; }
+  echo "=== [$(date +%H:%M:%S)] infer $p (best ckpt, noiseless)"
+  timeout 3600 python infer.py --preset "$p" --ckpt-dir "runs/$p" --ckpt best \
+    --n-slices 64 --json-out "runs/${p}_test.json" \
+    || echo "INFER FAILED: $p"
+  if [ "$p" = pdunet_fan ]; then
+    echo "=== [$(date +%H:%M:%S)] infer $p under training corruption"
+    timeout 3600 python infer.py --preset "$p" --ckpt-dir "runs/$p" --ckpt best \
+      --n-slices 64 --corrupt --json-out "runs/${p}_test_corrupt.json" \
+      || echo "INFER(corrupt) FAILED: $p"
+  fi
+done
+echo "=== [$(date +%H:%M:%S)] round-3 matrix done"
+for f in runs/*_test*.json; do echo "$f: $(cat "$f")"; done

@@ -212,19 +212,65 @@ def test_pdunet_trains_on_data_angle_mesh(mesh2d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
-def test_angle_shard_rejected_for_fan_radial():
-    import dataclasses
+def test_fan_angle_sharded_bundle_matches(mesh2d, rng):
+    """Fan ops on the 2-D mesh: the extended-grid backing projector shards
+    over the angle axis; A/At/fbp and gradients equal the unsharded bundle
+    (the rebin gathers stay global)."""
+    from pdunet_tpu.geometry import FanGeometry
+    from pdunet_tpu.ops.radon.fan import make_fan_ops
 
-    from pdunet_tpu.configs import get_preset
-    from pdunet_tpu.parallel import make_mesh
-    from pdunet_tpu.training.tasks import build_task
-
-    mesh = make_mesh(8, axes=("data", "angle"), shape=(4, 2))
-    config = get_preset("pdunet_fan")
-    config = dataclasses.replace(
-        config,
-        geometry=dataclasses.replace(config.geometry, image_size=32,
-                                     n_angles=40),
+    geom = FanGeometry(
+        image_size=32, n_angles=40, det_count=48, source_distance=64.0,
+        det_distance=32.0,
+        angles=tuple(1.5 * math.pi * k / 40 for k in range(40)),
     )
-    with pytest.raises(NotImplementedError, match="parallel-beam only"):
-        build_task(config, mesh=mesh, batch_axis="data")
+    ops = make_fan_ops(geom)
+    ops_sh = make_fan_ops(geom, mesh=mesh2d, batch_axis="data")
+    f = jnp.asarray(rng.standard_normal((4, 32, 32)), jnp.float32)
+    sino = ops.A(f)
+    np.testing.assert_allclose(
+        np.asarray(ops_sh.A(f)), np.asarray(sino), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ops_sh.At(sino)), np.asarray(ops.At(sino)), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ops_sh.fbp(sino)), np.asarray(ops.fbp(sino)), atol=1e-4)
+    g = jax.grad(lambda x: jnp.sum(ops_sh.A(x) ** 2))(f)
+    g_ref = jax.grad(lambda x: jnp.sum(ops.A(x) ** 2))(f)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-3)
+    # odd batch exercises the zero-pad path (batch 3 on a 4-wide data axis)
+    f3 = f[:3]
+    np.testing.assert_allclose(
+        np.asarray(ops_sh.A(f3)), np.asarray(ops.A(f3)), atol=1e-4)
+
+
+def test_radial_angle_sharded_bundle_matches(mesh2d, rng):
+    """Radial NUFFT fast path on the 2-D mesh: spokes shard through the
+    projection-slice parallel projector; complex A/At/DCF-adjoint match."""
+    from pdunet_tpu.geometry import RadialGeometry
+    from pdunet_tpu.ops.nufft import make_radial_ops
+
+    geom = RadialGeometry(image_size=32, n_spokes=48, samples_per_spoke=48)
+    ops = make_radial_ops(geom)
+    ops_sh = make_radial_ops(geom, mesh=mesh2d, batch_axis="data")
+    z = jnp.asarray(
+        rng.standard_normal((4, 32, 32)) + 1j * rng.standard_normal((4, 32, 32)),
+        jnp.complex64,
+    )
+    k = ops.A(z)
+    np.testing.assert_allclose(
+        np.asarray(ops_sh.A(z)), np.asarray(k), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ops_sh.At(k)), np.asarray(ops.At(k)), atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(ops_sh.fbp(k)), np.asarray(ops.fbp(k)), atol=1e-4)
+
+
+def test_radial_gridding_mesh_rejected():
+    from pdunet_tpu.geometry import RadialGeometry
+    from pdunet_tpu.ops.nufft import make_radial_ops
+    from pdunet_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, axes=("angle",))
+    geom = RadialGeometry(image_size=32, n_spokes=48, samples_per_spoke=48)
+    with pytest.raises(NotImplementedError, match="fourier_slice"):
+        make_radial_ops(geom, impl="gridding", mesh=mesh)

@@ -38,9 +38,9 @@ def parse_args(argv=None):
                    help="data-parallel device count (mesh over the first N devices)")
     p.add_argument("--angle-devices", type=int, default=None,
                    help="angle-shard the physics operators over this many "
-                        "devices (parallel-beam only; composes with "
-                        "--devices into a data x angle mesh — the "
-                        "beyond-HBM recipe, SURVEY.md §5.7)")
+                        "devices (composes with --devices into a "
+                        "data x angle mesh — the beyond-HBM recipe, "
+                        "SURVEY.md §5.7; all three geometries)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 10-15 here")
     p.add_argument("--dump-hlo", default=None, metavar="DIR",
