@@ -54,6 +54,13 @@ class TrainConfig:
     warmup_steps: int = 200
     seed: int = 0
     loss: str = "l1"
+    # >0: clip gradients to this global norm before Adam. 0 keeps the plain
+    # Adam tree (checkpoint-compatible with runs trained before this field).
+    # Guards the long-cosine runs: a single spike mid-run (observed on
+    # sino_unet_radial at ~step 4.5k/14k: val -1.4 dB, then frozen — the
+    # spike inflates Adam's v and strands the params) permanently costs
+    # quality; healthy grad norms here are ~0.05-0.1 so 0.5 never binds.
+    grad_clip: float = 0.0
     sino_loss_weight: float = 1.0   # sinogram-domain L1 (sino_unet task)
     img_loss_weight: float = 1.0    # image-domain loss through FBP
     log_every: int = 100

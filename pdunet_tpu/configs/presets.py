@@ -31,7 +31,8 @@ def sino_unet_parallel() -> ExperimentConfig:
         # measurably slows convergence (tiny-overfit ratio 0.81 vs 0.57)
         model=ModelConfig(kind="sino_unet", base_features=64, depth=4, stem=1,
                           use_bfloat16=True),
-        train=TrainConfig(sino_loss_weight=1.0, img_loss_weight=1.0),
+        train=TrainConfig(sino_loss_weight=1.0, img_loss_weight=1.0,
+                          grad_clip=0.5),
     )
 
 
@@ -92,7 +93,11 @@ def sino_unet_radial() -> ExperimentConfig:
         geometry=GeometryConfig(kind="radial", image_size=256, n_angles=512, sparsity=4),
         model=ModelConfig(kind="sino_unet", base_features=64, depth=4, stem=1,
                           use_bfloat16=True),
-        train=TrainConfig(batch_size=4, sino_loss_weight=1.0, img_loss_weight=1.0),
+        # grad_clip: the 14k-step cosine keeps LR high long enough that a
+        # single gradient spike can strand Adam (observed: val -1.4 dB at
+        # ~step 4.5k, then frozen); 0.5 is ~5-10x the healthy grad norm
+        train=TrainConfig(batch_size=4, sino_loss_weight=1.0,
+                          img_loss_weight=1.0, grad_clip=0.5),
     )
 
 

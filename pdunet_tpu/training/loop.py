@@ -56,6 +56,8 @@ def build_state(task: Task, params=None, init_key=None, n_steps=None):
     if params is None:
         params = task.init_params(init_key if init_key is not None else jax.random.PRNGKey(0))
     tx = optax.adam(_make_schedule(tc, n_steps))
+    if getattr(tc, "grad_clip", 0.0) > 0:
+        tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip), tx)
     return train_state.TrainState.create(
         apply_fn=getattr(task.model, "apply", None), params=params, tx=tx
     )

@@ -166,6 +166,48 @@ def test_checkify_step_clean_and_catches_nan():
         err.throw()
 
 
+def test_grad_clip_bounds_spike_updates():
+    """`train.grad_clip` must bound the optimizer's response to a gradient
+    spike (the sino_unet_radial collapse: one spike at high LR stranded
+    Adam's second moment and froze the run for 7k steps). A huge gradient
+    through the clipped state must move params no further than the clip
+    norm allows, while grad_clip=0 keeps the plain (checkpoint-compatible)
+    Adam tree."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pdunet_tpu.training.loop import build_state
+    from pdunet_tpu.training.tasks import build_task
+
+    config = tiny(get_preset("fbp_unet_parallel"))
+    task = build_task(config)
+
+    plain = build_state(task)
+    clipped_cfg = dataclasses.replace(
+        config, train=dataclasses.replace(config.train, grad_clip=0.5)
+    )
+    clipped = build_state(build_task(clipped_cfg))
+
+    # grad_clip=0 → plain Adam state tree (old checkpoints restore into it)
+    assert jax.tree_util.tree_structure(plain.opt_state) != jax.tree_util.tree_structure(
+        clipped.opt_state
+    )
+
+    spike = jax.tree.map(lambda p: jnp.full_like(p, 1e6), clipped.params)
+    after = clipped.apply_gradients(grads=spike)
+    # the clip rescales the spike to global norm 0.5 before Adam sees it;
+    # Adam's per-param step is then bounded by the LR, not the spike size
+    delta = optax.global_norm(
+        jax.tree.map(lambda a, b: a - b, after.params, clipped.params)
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(clipped.params))
+    lr_bound = 3e-3 * jnp.sqrt(n_params)  # |adam update| <= ~lr per param
+    assert float(delta) <= float(lr_bound), (
+        f"clipped spike moved params {float(delta):.3e} > bound {float(lr_bound):.3e}"
+    )
+
+
 def test_best_checkpoint_survives_rotation(tmp_path):
     """The best-val weights must outlive keep-N rotation (ADVICE.md r1:
     best.json alone is metadata, not a policy) and load via infer's path."""
