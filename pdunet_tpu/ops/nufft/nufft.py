@@ -88,21 +88,45 @@ class NufftPlan:
 jax.tree_util.register_pytree_node_class(NufftPlan)
 
 
+def spoke_voronoi_dphi(spoke_angles) -> np.ndarray:
+    """Per-spoke Voronoi cell width in orientation space [0, π).
+
+    Golden-angle spokes are low-discrepancy but NOT uniform: at 512 spokes
+    the angular gaps span a 2× range (0.0049–0.0098 rad). Each diameter
+    spoke's cell is half the gap to its angular neighbor on either side
+    (orientations folded mod π; the fold is exact because a diameter spoke
+    at φ+π samples the same k-space line as φ, readout-reversed). Gaps sum
+    to π by construction.
+    """
+    phis = np.asarray(spoke_angles, dtype=np.float64) % math.pi
+    order = np.argsort(phis)
+    s = phis[order]
+    ext = np.concatenate([[s[-1] - math.pi], s, [s[0] + math.pi]])
+    dphi_sorted = (ext[2:] - ext[:-2]) / 2.0
+    dphi = np.empty_like(dphi_sorted)
+    dphi[order] = dphi_sorted
+    return dphi
+
+
 def radial_dcf(geom: RadialGeometry) -> np.ndarray:
     """Radial area-element density compensation (ramp |k| with center fix).
 
-    Cell area of sample at radius |r|: Δr·Δφ·|r| with Δφ = π/n_spokes
-    (diameter spokes cover orientation space [0, π)); the r≈0 cell gets the
-    disk area π(Δr/2)²/n_spokes shared across spokes.
+    Cell area of sample at radius |r|: Δr·Δφ_k·|r| with Δφ_k the spoke's
+    Voronoi width in orientation space (NOT the uniform π/n_spokes — for
+    golden-angle trajectories the uniform approximation mis-weights spokes
+    by up to 2×, costing 2.7 dB / 0.08 SSIM on dense-data DCF-adjoint recon:
+    measured 43.43 dB/0.824 uniform → 46.13 dB/0.904 Voronoi at the shipped
+    512-spoke 256² geometry, f32). The r≈0 cell gets the disk area
+    π(Δr/2)²·(Δφ_k/π) shared across spokes.
     """
     n_sp, n_ro = geom.n_spokes, geom.samples_per_spoke
     k_max = math.pi / geom.pixel_spacing
     r = (np.arange(n_ro) - n_ro / 2.0) * (2.0 * k_max / n_ro)
     dr = 2.0 * k_max / n_ro
-    dphi = math.pi / n_sp
-    w = np.abs(r) * dr * dphi
-    w = np.maximum(w, math.pi * (dr / 2.0) ** 2 / n_sp)
-    return np.broadcast_to(w[None, :], (n_sp, n_ro)).astype(np.float32)
+    dphi = spoke_voronoi_dphi(geom.spoke_angles)  # (n_sp,)
+    w = np.abs(r)[None, :] * dr * dphi[:, None]
+    w = np.maximum(w, math.pi * (dr / 2.0) ** 2 * (dphi[:, None] / math.pi))
+    return w.astype(np.float32)
 
 
 def build_nufft_plan(

@@ -127,6 +127,39 @@ def test_dc_adjoint_recon(plan):
     assert abs(np.abs(recon).max() - 1.0) < 0.03
 
 
+def test_voronoi_dcf_weights_and_recon_gain():
+    """The DCF's per-spoke Δφ must be the Voronoi width in orientation
+    space: exactly π/n for uniform spokes, summing to π always, and on
+    golden-angle spokes (gaps spanning ~2×) it must beat the uniform-Δφ
+    approximation on dense-data DCF-adjoint recon."""
+    import math
+
+    from pdunet_tpu.ops.nufft.nufft import radial_dcf, spoke_voronoi_dphi
+
+    # uniform orientations → uniform cells
+    uni = spoke_voronoi_dphi(np.linspace(0, np.pi, 48, endpoint=False))
+    np.testing.assert_allclose(uni, np.pi / 48, rtol=1e-12)
+    # golden-angle: sums to π, non-uniform
+    ga = spoke_voronoi_dphi(GEOM.spoke_angles)
+    assert abs(ga.sum() - np.pi) < 1e-9
+    assert ga.max() / ga.min() > 1.5
+
+    ops = make_radial_ops(GEOM)
+    rng = np.random.default_rng(3)
+    from scipy.ndimage import gaussian_filter
+
+    img = gaussian_filter(rng.standard_normal((32, 32)), 1.5).astype(np.complex64)
+    g = ops.A(jnp.asarray(img))
+    recon_vor = np.asarray(ops.fbp(g))
+    # uniform-Δφ variant of the same area-element DCF
+    dcf = radial_dcf(GEOM)
+    dcf_uni = dcf * (np.pi / GEOM.n_spokes) / ga[:, None]
+    recon_uni = np.asarray(
+        ops.At(g * jnp.asarray(dcf_uni.astype(np.float32))) / (2.0 * math.pi) ** 2
+    )
+    assert rel_l2(recon_vor, img) < rel_l2(recon_uni, img)
+
+
 def test_complex_custom_vjp(plan):
     ops = make_radial_ops(GEOM)
     rng = np.random.default_rng(5)

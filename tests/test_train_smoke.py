@@ -208,6 +208,53 @@ def test_grad_clip_bounds_spike_updates():
     )
 
 
+def test_checkpoint_restores_across_remat_flip(tmp_path):
+    """`model.remat` is a speed/memory knob, not a model change — flipping
+    it renames flax's scan module (Scan_* ↔ ScanCheckpoint_*) and must NOT
+    strand existing checkpoints (this bit the round-3 matrix: remat=True
+    checkpoints were unreadable after the remat default changed to False)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdunet_tpu.training.checkpoint import CheckpointManager
+    from pdunet_tpu.training.loop import build_state
+    from pdunet_tpu.training.tasks import build_task
+
+    config = tiny(get_preset("pdunet_parallel"), stem=1)
+    saved_task = build_task(
+        dataclasses.replace(
+            config, model=dataclasses.replace(config.model, remat=True)
+        )
+    )
+    saved = build_state(saved_task)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(0, saved)
+    mgr.wait()
+
+    # template built with the OTHER remat setting must still restore
+    load_task = build_task(
+        dataclasses.replace(
+            config, model=dataclasses.replace(config.model, remat=False)
+        )
+    )
+    template = build_state(load_task)
+    restored = CheckpointManager(str(tmp_path)).restore(template)
+    assert restored is not None
+    jax.tree.map(
+        lambda a, b: None
+        if jnp.array_equal(a, b)
+        else pytest.fail("restored params differ from saved"),
+        restored.params,
+        _flip_names_for_cmp(saved.params),
+    )
+
+
+def _flip_names_for_cmp(tree):
+    from pdunet_tpu.training.checkpoint import _flip_remat_names
+
+    return _flip_remat_names(tree)
+
+
 def test_best_checkpoint_survives_rotation(tmp_path):
     """The best-val weights must outlive keep-N rotation (ADVICE.md r1:
     best.json alone is metadata, not a policy) and load via infer's path."""
