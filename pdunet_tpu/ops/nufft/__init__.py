@@ -13,6 +13,7 @@ from pdunet_tpu.ops.nufft.nufft import (
     nufft_adjoint,
     nufft_forward,
     radial_dcf,
+    radial_dcf_pipe_menon,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "nufft_adjoint",
     "nufft_forward",
     "radial_dcf",
+    "radial_dcf_pipe_menon",
 ]

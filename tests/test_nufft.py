@@ -150,14 +150,72 @@ def test_voronoi_dcf_weights_and_recon_gain():
 
     img = gaussian_filter(rng.standard_normal((32, 32)), 1.5).astype(np.complex64)
     g = ops.A(jnp.asarray(img))
-    recon_vor = np.asarray(ops.fbp(g))
-    # uniform-Δφ variant of the same area-element DCF
     dcf = radial_dcf(GEOM)
+    recon_vor = np.asarray(
+        ops.At(g * jnp.asarray(dcf)) / (2.0 * math.pi) ** 2
+    )
+    # uniform-Δφ variant of the same area-element DCF
     dcf_uni = dcf * (np.pi / GEOM.n_spokes) / ga[:, None]
     recon_uni = np.asarray(
         ops.At(g * jnp.asarray(dcf_uni.astype(np.float32))) / (2.0 * math.pi) ** 2
     )
     assert rel_l2(recon_vor, img) < rel_l2(recon_uni, img)
+
+
+def test_numpy_nufft_twins_match_jax():
+    """The host-side NumPy NUFFT pair (used by the Pipe-Menon DCF solver)
+    must match the jax gridding path to float tolerance."""
+    from pdunet_tpu.ops.nufft.nufft import (
+        _np_nufft_adjoint,
+        _np_nufft_forward,
+        _plan_tables,
+    )
+
+    T = _plan_tables(GEOM)
+    rng = np.random.default_rng(11)
+    f = rng.standard_normal((32, 32)) + 1j * rng.standard_normal((32, 32))
+    k = rng.standard_normal((48, 64)) + 1j * rng.standard_normal((48, 64))
+    plan = build_nufft_plan(GEOM)
+    jf = np.asarray(nufft_forward(plan, jnp.asarray(f, jnp.complex64)))
+    ja = np.asarray(nufft_adjoint(plan, jnp.asarray(k, jnp.complex64)))
+    assert rel_l2(_np_nufft_forward(T, f), jf) < 1e-5
+    assert rel_l2(_np_nufft_adjoint(T, k), ja) < 1e-5
+
+
+def test_pipe_menon_dcf_beats_voronoi_and_is_calibrated():
+    """2-iteration Pipe-Menon DCF (the shipped default): dense-data
+    DCF-adjoint recon must beat the Voronoi-ramp seed at FIXED scale (no
+    per-image refitting — the unit-gain calibration must carry the
+    absolute normalization), and reconstruct a smooth image near unit
+    gain. Measured at the shipped 512-spoke 256² geometry: 46.13 dB/0.904
+    → 49.33 dB/0.984 (see radial_dcf_pipe_menon docstring)."""
+    from scipy.ndimage import gaussian_filter
+
+    from pdunet_tpu.ops.nufft import radial_dcf_pipe_menon
+    from pdunet_tpu.ops.nufft.nufft import radial_dcf
+
+    pm = radial_dcf_pipe_menon(GEOM)
+    assert pm.shape == (GEOM.n_spokes, GEOM.samples_per_spoke)
+    assert np.all(np.isfinite(pm)) and np.all(pm >= 0)
+
+    ops = make_radial_ops(GEOM)  # default dcf: pipe_menon → ops.fbp uses pm
+    np.testing.assert_allclose(np.asarray(ops.dcf), pm, rtol=1e-6)
+    rng = np.random.default_rng(7)
+    img = gaussian_filter(rng.standard_normal((32, 32)), 1.5).astype(np.complex64)
+    g = ops.A(jnp.asarray(img))
+    recon_pm = np.asarray(ops.fbp(g))
+    recon_vor = np.asarray(
+        ops.At(g * jnp.asarray(radial_dcf(GEOM))) / (2.0 * np.pi) ** 2
+    )
+    assert rel_l2(recon_pm, img) < rel_l2(recon_vor, img)
+
+    # unit gain on a smooth Gaussian (the calibration family, but a
+    # different width than the calibration blob itself)
+    x = np.arange(32) - 16
+    X, Y = np.meshgrid(x, x)
+    blob = np.exp(-(X**2 + Y**2) / (2 * 3.0**2)).astype(np.complex64)
+    recon = np.asarray(ops.fbp(ops.A(jnp.asarray(blob))))
+    assert abs(np.abs(recon).max() - 1.0) < 0.05
 
 
 def test_complex_custom_vjp(plan):
