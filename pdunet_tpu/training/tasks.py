@@ -158,24 +158,34 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
     if gc.kind == "fan":
         from pdunet_tpu.ops.radon.fan import make_fan_ops
 
-        ops_dense = make_fan_ops(dense_geom, dtype=dtype, **shard_kw)
-        ops_sparse = make_fan_ops(sparse_geom, dtype=dtype, **shard_kw)
-        if mesh is not None:
-            ops_sparse_local = make_fan_ops(sparse_geom, dtype=dtype)
+        _mk_ops = make_fan_ops
     elif gc.kind == "radial":
         from pdunet_tpu.ops.nufft import make_radial_ops
 
-        ops_dense = make_radial_ops(dense_geom, dtype=dtype, **shard_kw)
-        ops_sparse = make_radial_ops(sparse_geom, dtype=dtype, **shard_kw)
-        if mesh is not None:
-            ops_sparse_local = make_radial_ops(sparse_geom, dtype=dtype)
+        _mk_ops = make_radial_ops
     else:
-        ops_dense = make_parallel_ops(dense_geom, dtype=dtype, **shard_kw)
-        ops_sparse = make_parallel_ops(sparse_geom, dtype=dtype, **shard_kw)
-        if mesh is not None:
-            # power iteration runs on a single (N, N) image — cheaper on the
-            # unsharded twin; σ is a property of the operator, identical
-            ops_sparse_local = make_parallel_ops(sparse_geom, dtype=dtype)
+        _mk_ops = make_parallel_ops
+    ops_dense = _mk_ops(dense_geom, dtype=dtype, **shard_kw)
+    ops_sparse = _mk_ops(sparse_geom, dtype=dtype, **shard_kw)
+    if mesh is not None:
+        # power iteration runs on a single (N, N) image — cheaper on the
+        # unsharded twin; σ is a property of the operator, identical
+        ops_sparse_local = _mk_ops(sparse_geom, dtype=dtype)
+    # Measurement synthesis and direct recon (f0 / fbp input / the sino
+    # tasks' output operator) run at FULL precision even when the learned
+    # loop computes in bf16: the simulated measurement plays the role of
+    # ground-truth physics, and synthesizing it in bf16 bakes ~1e-2
+    # relative rounding into the data itself. Measured at the shipped
+    # radial config (dense-spoke DCF-adjoint recon of the TRUE data):
+    # bf16-synthesized measurements cap the task at 47.70 dB/0.962 vs
+    # 49.33 dB/0.984 with f32 synthesis — and the output fbp's precision
+    # is irrelevant (49.345 bf16 vs 49.326 f32). Only the unroll operators
+    # A_n/At_n (n_iters× per step, speed-critical) keep the preset dtype.
+    if dtype == jnp.float32:
+        ops_synth_dense, ops_synth_sparse = ops_dense, ops_sparse
+    else:
+        ops_synth_dense = _mk_ops(dense_geom, dtype=jnp.float32, **shard_kw)
+        ops_synth_sparse = _mk_ops(sparse_geom, dtype=jnp.float32, **shard_kw)
     loss = _loss(tc.loss)
     N = gc.image_size
     B = tc.batch_size
@@ -191,8 +201,8 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
         def make_batch(key):
             k1, k2 = jax.random.split(key)
             img = phantoms(k1)
-            sino = _maybe_noise(k2, ops_sparse.A(img), tc.photons_per_ray)
-            fbp = ops_sparse.fbp(sino)
+            sino = _maybe_noise(k2, ops_synth_sparse.A(img), tc.photons_per_ray)
+            fbp = ops_synth_sparse.fbp(sino)
             return {"image": img, "fbp": fbp}
 
         def init_params(key):
@@ -207,10 +217,10 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
             return loss(pred, batch["image"]), {}
 
         def batch_from_images(img, key=None):
-            sino = ops_sparse.A(img)
+            sino = ops_synth_sparse.A(img)
             if key is not None:
                 sino = _maybe_noise(key, sino, tc.photons_per_ray)
-            return {"image": img, "fbp": ops_sparse.fbp(sino)}
+            return {"image": img, "fbp": ops_synth_sparse.fbp(sino)}
 
         return _finalize(config.name, model, init_params, make_batch, loss_fn,
                          predict, config, N, batch_from_images)
@@ -285,7 +295,7 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                     + coeffs[:, 3, None, None] * (X**2 - Y**2))
 
         def _batch_from_complex(img_c):
-            g_dense = ops_dense.A(img_c)
+            g_dense = ops_synth_dense.A(img_c)
             # golden-angle subsample keeps the spoke-sequence prefix, so
             # the sparse measurement is literally the first A_s spokes
             g_in = interp_upsample_spokes(
@@ -332,7 +342,7 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
 
         def recon_fn(params, batch):
             pred = from_net_domain(predict_kw(params, batch))
-            return jnp.abs(ops_dense.fbp(pred))
+            return jnp.abs(ops_synth_dense.fbp(pred))
 
         def loss_fn(params, batch):
             pred_w = predict_kw(params, batch)
@@ -344,7 +354,7 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                 aux["sino_loss"] = ls
             if tc.img_loss_weight:
                 li = loss(
-                    jnp.abs(ops_dense.fbp(from_net_domain(pred_w))),
+                    jnp.abs(ops_synth_dense.fbp(from_net_domain(pred_w))),
                     batch["image"],
                 )
                 total += tc.img_loss_weight * li
@@ -383,7 +393,7 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
         def make_batch(key):
             k1, k2 = jax.random.split(key)
             img = phantoms(k1)
-            sino_dense = ops_dense.A(img)
+            sino_dense = ops_synth_dense.A(img)
             sino_sparse = _maybe_noise(
                 k2, subsample_angles(sino_dense, k), tc.photons_per_ray
             )
@@ -409,7 +419,7 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
             return jnp.where(measured_rows, batch["sino_in"], pred)
 
         def recon_fn(params, batch):
-            return ops_dense.fbp(predict_sino(params, batch))
+            return ops_synth_dense.fbp(predict_sino(params, batch))
 
         def loss_fn(params, batch):
             pred_sino = predict_sino(params, batch)
@@ -420,13 +430,13 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                 total += tc.sino_loss_weight * ls
                 aux["sino_loss"] = ls
             if tc.img_loss_weight:
-                li = loss(ops_dense.fbp(pred_sino), batch["image"])
+                li = loss(ops_synth_dense.fbp(pred_sino), batch["image"])
                 total += tc.img_loss_weight * li
                 aux["img_loss"] = li
             return total, aux
 
         def batch_from_images(img, key=None):
-            sino_dense = ops_dense.A(img)
+            sino_dense = ops_synth_dense.A(img)
             sino_sparse = subsample_angles(sino_dense, k)
             if key is not None:
                 sino_sparse = _maybe_noise(key, sino_sparse, tc.photons_per_ray)
@@ -494,8 +504,8 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                     + coeffs[:, 3, None, None] * (X**2 - Y**2)
                 )
                 img_c = mag.astype(jnp.complex64) * jnp.exp(1j * phase)
-                g = ops_sparse.A(img_c)
-                f0 = ops_sparse.fbp(g)
+                g = ops_synth_sparse.A(img_c)
+                f0 = ops_synth_sparse.fbp(g)
                 return {"image": mag, "image_c": img_c, "sino": g, "f0": f0}
 
             def init_params(key):
@@ -530,16 +540,16 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                     )
                 else:
                     img_c = img.astype(jnp.complex64)
-                g = ops_sparse.A(img_c)
+                g = ops_synth_sparse.A(img_c)
                 return {"image": jnp.abs(img_c), "image_c": img_c,
-                        "sino": g, "f0": ops_sparse.fbp(g)}
+                        "sino": g, "f0": ops_synth_sparse.fbp(g)}
 
         else:
             def make_batch(key):
                 k1, k2 = jax.random.split(key)
                 img = phantoms(k1)
-                g = _maybe_noise(k2, ops_sparse.A(img), tc.photons_per_ray)
-                f0 = ops_sparse.fbp(g)
+                g = _maybe_noise(k2, ops_synth_sparse.A(img), tc.photons_per_ray)
+                f0 = ops_synth_sparse.fbp(g)
                 return {"image": img, "sino": g, "f0": f0}
 
             def init_params(key):
@@ -557,10 +567,10 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                 return loss(recon_fn(params, batch), batch["image"]), {}
 
             def batch_from_images(img, key=None):
-                g = ops_sparse.A(img)
+                g = ops_synth_sparse.A(img)
                 if key is not None:
                     g = _maybe_noise(key, g, tc.photons_per_ray)
-                return {"image": img, "sino": g, "f0": ops_sparse.fbp(g)}
+                return {"image": img, "sino": g, "f0": ops_synth_sparse.fbp(g)}
 
         return _finalize(config.name, model, init_params, make_batch, loss_fn,
                          recon_fn, config, N, batch_from_images)
