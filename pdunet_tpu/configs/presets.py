@@ -42,7 +42,7 @@ def fbp_unet_parallel() -> ExperimentConfig:
         geometry=GeometryConfig(kind="parallel", image_size=256, n_angles=360, sparsity=4),
         model=ModelConfig(kind="fbp_unet", base_features=64, depth=3, stem=2,
                           use_bfloat16=True),
-        train=TrainConfig(),
+        train=TrainConfig(grad_clip=2.0),
     )
 
 
@@ -52,7 +52,12 @@ def pdunet_parallel() -> ExperimentConfig:
         geometry=GeometryConfig(kind="parallel", image_size=256, n_angles=360, sparsity=4),
         model=ModelConfig(kind="pdunet", base_features=32, depth=2, stem=2,
                           n_iters=4, use_bfloat16=True),
-        train=TrainConfig(batch_size=4),
+        # grad_clip on every preset: long cosine schedules keep LR high for
+        # thousands of steps, and a single unclipped gradient spike strands
+        # Adam in a worse basin (observed twice on this preset: 53.4->50.4 dB
+        # at 24k-step budget, 50.5->39.5 dB at 28k). 2.0 is ~4x the healthy
+        # p99 grad norm (0.48) — inactive in normal training, caps spikes.
+        train=TrainConfig(batch_size=4, grad_clip=2.0),
     )
 
 
@@ -68,7 +73,8 @@ def pdunet_fan() -> ExperimentConfig:
         ),
         model=ModelConfig(kind="pdunet", base_features=32, depth=2, stem=2,
                           n_iters=4, use_bfloat16=True),
-        train=TrainConfig(batch_size=4, photons_per_ray=1e5),  # low-dose noise
+        train=TrainConfig(batch_size=4, photons_per_ray=1e5,  # low-dose noise
+                          grad_clip=2.0),
     )
 
 
@@ -78,7 +84,7 @@ def pdunet_radial() -> ExperimentConfig:
         geometry=GeometryConfig(kind="radial", image_size=256, n_angles=512, sparsity=4),
         model=ModelConfig(kind="pdunet", base_features=32, depth=2, stem=2,
                           n_iters=4, use_bfloat16=True),
-        train=TrainConfig(batch_size=4),
+        train=TrainConfig(batch_size=4, grad_clip=2.0),
     )
 
 
@@ -110,7 +116,9 @@ def lpd_parallel() -> ExperimentConfig:
         model=ModelConfig(kind="lpd", n_iters=10, lpd_features=32,
                           primal_channels=5, dual_channels=5,
                           use_bfloat16=True),
-        train=TrainConfig(batch_size=4),
+        # 4.0 ~ 4x this preset's healthy p99 grad norm (1.07 — the LPD
+        # conv nets run hotter than the UNet presets)
+        train=TrainConfig(batch_size=4, grad_clip=4.0),
     )
 
 
