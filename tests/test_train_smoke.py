@@ -180,8 +180,12 @@ def test_grad_clip_bounds_spike_updates():
     from pdunet_tpu.training.loop import build_state
     from pdunet_tpu.training.tasks import build_task
 
+    # every shipped preset now clips; build the plain variant explicitly
     config = tiny(get_preset("fbp_unet_parallel"))
-    task = build_task(config)
+    plain_cfg = dataclasses.replace(
+        config, train=dataclasses.replace(config.train, grad_clip=0.0)
+    )
+    task = build_task(plain_cfg)
 
     plain = build_state(task)
     clipped_cfg = dataclasses.replace(
