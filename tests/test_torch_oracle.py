@@ -186,3 +186,87 @@ def test_pdunet_full_model_parity(phantom):
         A_t, At_t, n_iters=2, depth=1, stem=1,
     ).detach().numpy()
     assert rel_l2(out_torch, out_jax) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Radial MRI leg: jax KB-gridding NUFFT vs an exact torch NUDFT
+# (tests/oracles/torch_mri.py). On this tiny grid the torch matmul is the
+# literal type-2 definition, so the tolerance is the KB J=4/σ=2 gridding
+# error floor (~5e-4), not a discretization-family budget.
+# ---------------------------------------------------------------------------
+
+from pdunet_tpu.geometry import RadialGeometry
+from tests.oracles.torch_mri import torch_nufft_type1, torch_nufft_type2
+
+GEOM_R = RadialGeometry(image_size=32, n_spokes=48, samples_per_spoke=64)
+
+
+@pytest.fixture(scope="module")
+def radial_image():
+    rng = np.random.default_rng(7)
+    N = GEOM_R.image_size
+    x = (np.arange(N) - N // 2) / N
+    X, Y = np.meshgrid(x, x)
+    mag = np.exp(-(X**2 + Y**2) / (2 * 0.2**2))
+    phase = 0.7 * X + 0.3 * Y**2 + 0.05 * rng.standard_normal((N, N))
+    return (mag * np.exp(1j * phase)).astype(np.complex64)
+
+
+@pytest.fixture(scope="module")
+def radial_ops():
+    from pdunet_tpu.ops.nufft import make_radial_ops
+
+    return make_radial_ops(GEOM_R)
+
+
+def _torch_A(img_t):
+    return torch_nufft_type2(
+        img_t, GEOM_R.n_spokes, GEOM_R.samples_per_spoke,
+        GEOM_R.spoke_angles, GEOM_R.pixel_spacing,
+    )
+
+
+def test_radial_forward_parity(radial_image, radial_ops):
+    """jax type-2 KB NUFFT vs the exact torch NUDFT."""
+    ours = np.asarray(radial_ops.A(jnp.asarray(radial_image)))
+    oracle = _torch_A(torch.from_numpy(radial_image)).numpy()
+    assert rel_l2(ours, oracle) < 1e-3
+
+
+def test_radial_adjoint_parity(radial_image, radial_ops):
+    """jax type-1 gridding adjoint vs the exact torch conjugate transpose."""
+    k = _torch_A(torch.from_numpy(radial_image))  # dense-ish test k-space
+    ours = np.asarray(radial_ops.At(jnp.asarray(k.numpy().astype(np.complex64))))
+    oracle = torch_nufft_type1(
+        k, GEOM_R.image_size, GEOM_R.spoke_angles, GEOM_R.pixel_spacing
+    ).numpy()
+    assert rel_l2(ours, oracle) < 1e-3
+
+
+def test_radial_adjoint_via_torch_autograd(radial_image, radial_ops):
+    """The adjoint relation derived by torch autograd of the torch forward
+    must agree with BOTH the torch type-1 and the jax At.
+
+    For L = Re⟨A f, y⟩ with f = a + ib: dL/da = Re(A†y), dL/db = Im(A†y).
+    """
+    rng = np.random.default_rng(11)
+    y_np = (
+        rng.standard_normal((GEOM_R.n_spokes, GEOM_R.samples_per_spoke))
+        + 1j * rng.standard_normal((GEOM_R.n_spokes, GEOM_R.samples_per_spoke))
+    ).astype(np.complex128)
+    y = torch.from_numpy(y_np)
+
+    N = GEOM_R.image_size
+    a = torch.zeros(N, N, dtype=torch.float64, requires_grad=True)
+    b = torch.zeros(N, N, dtype=torch.float64, requires_grad=True)
+    L = (_torch_A(a + 1j * b) * y.conj()).sum().real
+    L.backward()
+    adj_autograd = (a.grad + 1j * b.grad).numpy()
+
+    adj_direct = torch_nufft_type1(
+        y, N, GEOM_R.spoke_angles, GEOM_R.pixel_spacing
+    ).numpy()
+    assert rel_l2(adj_autograd, adj_direct) < 1e-10  # torch-internal: exact
+
+    adj_jax = np.asarray(radial_ops.At(jnp.asarray(y_np.astype(np.complex64))))
+    assert rel_l2(adj_jax, adj_direct) < 1e-3
