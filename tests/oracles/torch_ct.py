@@ -119,3 +119,51 @@ def torch_parallel_fbp(
         align_corners=True,
     ).reshape(A, N, N)
     return vals.sum(dim=0) * math.pi / A
+
+
+def torch_fan_project(
+    image: torch.Tensor,
+    angles,
+    det_count: int,
+    source_distance: float,
+    det_distance: float,
+    det_spacing: float,
+    pixel_spacing: float = 1.0,
+    oversample: int = 2,
+) -> torch.Tensor:
+    """Ray-driven fan-beam line integrals (flat detector).
+
+    The fan ray at (β, u) is the full line with parallel coordinates
+    θ = β + γ, s = R·sinγ, γ = atan2(u, R + D) — sampling that line with
+    grid_sample is an independent discretization family from pdunet_tpu's
+    rebinning composition (extended-grid parallel projector + 2-banded
+    detector matmul). image (N, N) float32 → sinogram (A, S).
+    """
+    image = image.to(torch.float32)
+    N = image.shape[-1]
+    betas = torch.as_tensor(angles, dtype=torch.float32)
+    A = betas.numel()
+    S = det_count
+    u = (torch.arange(S, dtype=torch.float32) - (S - 1) / 2.0) * det_spacing
+    gamma = torch.atan2(u, torch.tensor(float(source_distance + det_distance)))
+    theta = betas[:, None] + gamma[None, :]                    # (A, S)
+    s = (source_distance * torch.sin(gamma))[None, :].expand(A, S)
+
+    half_len = N * pixel_spacing * math.sqrt(2.0) / 2.0
+    n_t = int(2 * half_len / (pixel_spacing / oversample)) + 1
+    t = torch.linspace(-half_len, half_len, n_t)
+    dt = float(t[1] - t[0]) if n_t > 1 else 1.0
+
+    cs, sn = torch.cos(theta), torch.sin(theta)                # (A, S)
+    x = s[..., None] * cs[..., None] - t * sn[..., None]       # (A, S, T)
+    y = s[..., None] * sn[..., None] + t * cs[..., None]
+    half_extent = (N - 1) / 2.0 * pixel_spacing
+    grid = torch.stack([x / half_extent, y / half_extent], dim=-1)
+    vals = F.grid_sample(
+        image[None, None],
+        grid.reshape(1, A, S * n_t, 2),
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=True,
+    ).reshape(A, S, n_t)
+    return vals.sum(dim=-1) * dt

@@ -270,3 +270,56 @@ def test_radial_adjoint_via_torch_autograd(radial_image, radial_ops):
 
     adj_jax = np.asarray(radial_ops.At(jnp.asarray(y_np.astype(np.complex64))))
     assert rel_l2(adj_jax, adj_direct) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Fan-beam leg: jax rebinning-composition operator vs a torch ray-driven
+# fan projector (tests/oracles/torch_ct.py::torch_fan_project).
+# ---------------------------------------------------------------------------
+
+from pdunet_tpu.geometry import FanGeometry
+from pdunet_tpu.ops.radon.fan import make_fan_ops
+from tests.oracles.torch_ct import torch_fan_project
+
+GEOM_F = FanGeometry(image_size=64, n_angles=96)
+
+
+def _torch_A_fan(img_t, oversample=2):
+    return torch_fan_project(
+        img_t, GEOM_F.angles, GEOM_F.det_count, GEOM_F.source_distance,
+        GEOM_F.det_distance, GEOM_F.det_spacing, GEOM_F.pixel_spacing,
+        oversample=oversample,
+    )
+
+
+def test_fan_forward_parity(phantom):
+    """jax extended-grid rebinning projector vs torch ray sampler (different
+    discretization families, same few-percent budget as the parallel leg)."""
+    fan_ops = make_fan_ops(GEOM_F)
+    ours = np.asarray(fan_ops.A(jnp.asarray(phantom)))
+    oracle = _torch_A_fan(torch.from_numpy(phantom)).numpy()
+    assert rel_l2(ours, oracle) < 0.03
+
+
+def test_fan_adjoint_parity_via_torch_autograd(phantom):
+    """Adjoint parity on a smooth sinogram weighting: autograd of the torch
+    fan forward vs the jax fan backprojector (interior disk, where the
+    families' boundary handling can't dominate)."""
+    fan_ops = make_fan_ops(GEOM_F)
+    A, S = GEOM_F.n_angles, GEOM_F.det_count
+    bb, ss = np.meshgrid(
+        np.linspace(0, 2 * math.pi, A), np.linspace(-1, 1, S), indexing="ij"
+    )
+    w = (np.exp(-(ss**2) / 0.32) * (1.2 + np.cos(2 * bb))).astype(np.float32)
+
+    x_t = torch.zeros(GEOM_F.image_size, GEOM_F.image_size, requires_grad=True)
+    (_torch_A_fan(x_t) * torch.from_numpy(w)).sum().backward()
+    adj_torch = x_t.grad.numpy()
+
+    adj_jax = np.asarray(fan_ops.At(jnp.asarray(w)))
+
+    N = GEOM_F.image_size
+    yy, xx = np.mgrid[:N, :N]
+    c = (N - 1) / 2.0
+    disk = ((xx - c) ** 2 + (yy - c) ** 2) < (0.4 * N) ** 2
+    assert rel_l2(adj_jax[disk], adj_torch[disk]) < 0.05
