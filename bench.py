@@ -196,6 +196,33 @@ def main(argv=None):
                    "dtype": args.dtype}}
         import jax.numpy as jnp
 
+        # Roofline readout: XLA's own FLOP count for the compiled recon ×
+        # measured executions/sec vs the chip's bf16 MXU peak (v5e ≈ 197
+        # TFLOP/s). "Speed of light" for this workload is NOT 100%: the
+        # UNet stages at 256² with 32-64 features are batch/spatial-large
+        # but channel-thin, and the projector matmuls are (A·S_ext, N)-
+        # shaped — both leave lanes idle relative to a square-matmul peak.
+        try:
+            lowered = jax.jit(
+                lambda f0: task.recon_fn(params, dict(batch, f0=f0))
+            ).lower(batch["f0"])
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                achieved = flops / dt
+                details["roofline"] = {
+                    "device_kind": jax.devices()[0].device_kind,
+                    "peak_ref": "v5e bf16 MXU ~197 TFLOP/s",
+                    "xla_flops_per_batch": flops,
+                    "tflops_per_slice": round(flops / args.batch / 1e12, 6),
+                    "achieved_tflops_per_sec": round(achieved / 1e12, 2),
+                    "mxu_util_vs_bf16_peak": round(achieved / 197e12, 4),
+                }
+        except Exception as e:  # cost_analysis is best-effort per backend
+            details["roofline"] = {"error": str(e)}
+
         _, sparse_geom = build_geometries(config.geometry)
         # operator benches must run at the same compute dtype the headline
         # config uses — an f32 plan under a bf16 label misreports them
