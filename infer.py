@@ -49,6 +49,11 @@ def parse_args(argv=None):
     p.add_argument("--export-count", type=int, default=4)
     p.add_argument("--json-out", default=None, help="write metrics JSON here")
     p.add_argument("--platform", default=None)
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel eval over the first N devices: params "
+                        "replicated, each batch sharded over the 'data' mesh "
+                        "axis (XLA inserts the collectives over ICI). The "
+                        "batch size must be divisible by N")
     return p.parse_args(argv)
 
 
@@ -77,6 +82,20 @@ def main(argv=None):
     task = build_task(config)
     B = config.train.batch_size
 
+    mesh = None
+    if args.devices and args.devices > 1:
+        # Data-parallel eval (SURVEY.md §2d P1 on the inference surface):
+        # the recon jit shards every batch leaf's leading dim over the
+        # 'data' axis and replicates params, so N chips each reconstruct
+        # B/N slices — the same scale axis the training step uses.
+        from pdunet_tpu.parallel import make_mesh
+
+        if B % args.devices:
+            raise SystemExit(
+                f"--devices {args.devices} must divide batch size {B}"
+            )
+        mesh = make_mesh(args.devices)
+
     key = jax.random.PRNGKey(0)
     params = task.init_params(key)
     if args.ckpt_dir:
@@ -102,7 +121,28 @@ def main(argv=None):
     else:
         print("[infer] WARNING: no --ckpt-dir; evaluating randomly-initialized params")
 
-    recon_j = jax.jit(lambda p, b: task.recon_fn(p, b))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from pdunet_tpu.parallel import replicate
+
+        params = replicate(params, mesh)
+
+        def _constrain(x):
+            return jax.lax.with_sharding_constraint(
+                x,
+                NamedSharding(
+                    mesh, PartitionSpec("data", *([None] * (x.ndim - 1)))
+                ),
+            )
+
+        recon_j = jax.jit(
+            lambda p, b: task.recon_fn(
+                p, jax.tree_util.tree_map(_constrain, b)
+            ),
+            out_shardings=NamedSharding(mesh, PartitionSpec()),
+        )
+    else:
+        recon_j = jax.jit(lambda p, b: task.recon_fn(p, b))
     if args.hu_window:
         from pdunet_tpu.data.pipeline import MU_WATER, mu_to_hu, normalize_ct_window
 

@@ -171,3 +171,32 @@ def test_sharded_from_images_matches_single(task):
         jax.tree_util.tree_leaves(state_8_next.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_infer_devices_matches_single(tmp_path):
+    """`infer.py --devices 8` (data-parallel eval surface) produces the same
+    metric table as the single-device run: random-but-deterministic params
+    (no --ckpt-dir), same synthetic test set, params replicated and the
+    batch sharded over the data axis."""
+    import json
+
+    import infer
+
+    common = [
+        "--preset", "fbp_unet_parallel",
+        "--set", "geometry.image_size=32",
+        "--set", "geometry.n_angles=40",
+        "--set", "model.base_features=8",
+        "--set", "model.depth=2",
+        "--set", "model.use_bfloat16=false",
+        "--batch", "8", "--n-slices", "8",
+    ]
+    out1 = tmp_path / "single.json"
+    out8 = tmp_path / "mesh.json"
+    infer.main(common + ["--json-out", str(out1)])
+    infer.main(common + ["--json-out", str(out8), "--devices", "8"])
+    t1 = json.loads(out1.read_text())
+    t8 = json.loads(out8.read_text())
+    assert t1["n_slices"] == t8["n_slices"] == 8
+    np.testing.assert_allclose(t8["psnr_mean"], t1["psnr_mean"], rtol=1e-5)
+    np.testing.assert_allclose(t8["ssim_mean"], t1["ssim_mean"], rtol=1e-4)
