@@ -80,6 +80,33 @@ MATRIX_BATCH = {
 _CARRY_KEY = {"pdunet": "f0", "lpd": "f0", "fbp_unet": "fbp"}
 
 
+def time_train_steps(step, state, key, iters: int = 5) -> float:
+    """Seconds per train step, measured as an on-device fori_loop chain with
+    the 0-iteration baseline subtracted (same methodology as :func:`timeit`;
+    the optimizer state is the natural carry)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def loop(n, s):
+        def body(i, s):
+            s2, _ = step(s, jax.random.fold_in(key, i))
+            return s2
+
+        out = lax.fori_loop(0, n, body, s)
+        leaf = jax.tree_util.tree_leaves(out.params)[0]
+        return jnp.real(jnp.ravel(leaf))[0]
+
+    float(loop(2, state))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(0, state))
+    base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(loop(iters, state))
+    return max(time.perf_counter() - t0 - base, 1e-9) / iters
+
+
 def bench_preset_recon(name: str, batch_size: int) -> dict:
     """End-to-end recon throughput of one shipped preset at its trained
     config (dtype/stem/n_iters as shipped) — the SURVEY.md §6 matrix row."""
@@ -134,6 +161,9 @@ def main(argv=None):
     p.add_argument("--dtype", choices=["preset", "f32", "bf16"], default="preset",
                    help="network compute dtype (default: the preset's, bf16)")
     args = p.parse_args(argv)
+    # --matrix / --train-scan are --all sub-modes; asking for either
+    # implies --all rather than silently doing nothing
+    args.all = args.all or args.matrix or args.train_scan
 
     import jax
 
@@ -265,27 +295,7 @@ def main(argv=None):
             apply_fn=None, params=train_task.init_params(key), tx=optax.adam(1e-3)
         )
 
-        # train-step chain: the optimizer state is the natural carry
-        import jax.numpy as jnp
-        from jax import lax
-
-        @jax.jit
-        def train_loop(n, s):
-            def body(i, s):
-                s2, _ = step(s, jax.random.fold_in(key, i))
-                return s2
-            out = lax.fori_loop(0, n, body, s)
-            leaf = jax.tree_util.tree_leaves(out.params)[0]
-            return jnp.real(jnp.ravel(leaf))[0]
-
-        float(train_loop(2, state))
-        t0 = time.perf_counter()
-        float(train_loop(0, state))
-        base = time.perf_counter() - t0
-        iters = 5
-        t0 = time.perf_counter()
-        float(train_loop(iters, state))
-        dt_t = max(time.perf_counter() - t0 - base, 1e-9) / iters
+        dt_t = time_train_steps(step, state, key)
         details["train_step_sec"] = round(dt_t, 4)
         details["train_slices_per_sec"] = round(train_batch / dt_t, 2)
 
@@ -308,23 +318,7 @@ def main(argv=None):
                         apply_fn=None, params=scan_task.init_params(key),
                         tx=optax.adam(1e-3),
                     )
-
-                    @jax.jit
-                    def s_loop(n, s):
-                        def body(i, s):
-                            s2, _ = s_step(s, jax.random.fold_in(key, i))
-                            return s2
-                        out = lax.fori_loop(0, n, body, s)
-                        leaf = jax.tree_util.tree_leaves(out.params)[0]
-                        return jnp.real(jnp.ravel(leaf))[0]
-
-                    float(s_loop(2, s_state))
-                    t0 = time.perf_counter()
-                    float(s_loop(0, s_state))
-                    s_base = time.perf_counter() - t0
-                    t0 = time.perf_counter()
-                    float(s_loop(5, s_state))
-                    s_dt = max(time.perf_counter() - t0 - s_base, 1e-9) / 5
+                    s_dt = time_train_steps(s_step, s_state, key)
                     details["train_scan"].append({
                         "batch": b, "remat": use_remat,
                         "step_sec": round(s_dt, 4),

@@ -154,9 +154,14 @@ def main(argv=None):
             # the clinically meaningful error metric for CT (SURVEY.md C4)
             return normalize_ct_window(mu_to_hu(x * MU_WATER), center, width)
 
+        # the window maps to [0,1] by construction, so score against that
+        # fixed range: a slice with no content inside the window (e.g. an
+        # air-dominated slice under a soft-tissue window) has target
+        # peak-to-peak 0, and the per-image default would poison the
+        # aggregate with -inf/NaN PSNR
         metric_j = jax.jit(
-            lambda r, t: (psnr(_windowed(r), _windowed(t)),
-                          ssim(_windowed(r), _windowed(t)))
+            lambda r, t: (psnr(_windowed(r), _windowed(t), data_range=1.0),
+                          ssim(_windowed(r), _windowed(t), data_range=1.0))
         )
     else:
         metric_j = jax.jit(

@@ -131,9 +131,15 @@ def radial_dcf(geom: RadialGeometry) -> np.ndarray:
     return w.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
 def _plan_tables(geom: RadialGeometry, oversamp: float = 2.0, J: int = 4) -> dict:
     """Host-side (NumPy, f64) gridding tables shared by the device plan and
-    the Pipe-Menon DCF solver: tap indices/weights + deapodization."""
+    the Pipe-Menon DCF solver: tap indices/weights + deapodization.
+
+    Memoized per (geom, oversamp, J) — geometry configs are frozen hashable
+    dataclasses — because every ``build_nufft_plan(dcf='pipe_menon')``
+    otherwise builds the identical tables twice (once directly, once inside
+    the DCF solver). Callers treat the returned dict as read-only."""
     N = geom.image_size
     G = int(round(oversamp * N))
     beta = math.pi * math.sqrt((J / oversamp) ** 2 * (oversamp - 0.5) ** 2 - 0.8)
@@ -363,20 +369,11 @@ def make_radial_ops(
         fs_plan = build_fs_plan(geom, dtype=dtype or _jnp.float32)
 
         if mesh is not None:
-            from pdunet_tpu.ops.radon.parallel import make_batch_padder
+            from pdunet_tpu.ops.radon.parallel import padded_batch_caller
 
-            pad_batch = make_batch_padder(mesh, batch_axis)
-
-            def _through(fn, x):
-                # pad the COMPLEX batch: the fs pipeline stacks (Re, Im)
-                # along batch, so divisibility by the data axis is preserved
-                lead = x.shape[:-2]
-                xb = x.reshape((-1,) + x.shape[-2:])
-                xb, pad = pad_batch(xb)
-                out = fn(xb)
-                if pad:
-                    out = out[: out.shape[0] - pad]
-                return out.reshape(lead + out.shape[1:])
+            # pads the COMPLEX batch: the fs pipeline stacks (Re, Im)
+            # along batch, so divisibility by the data axis is preserved
+            _through = padded_batch_caller(mesh, batch_axis)
 
             _fwd = lambda f: _through(
                 lambda x: fs_nufft_forward(fs_plan, x, mesh, angle_axis,

@@ -280,19 +280,12 @@ def make_fan_ops(geom: FanGeometry, dtype=jnp.float32, mesh=None,
     zero-padded up to the ``batch_axis`` size so traced batch-1 inits and
     ragged eval batches work."""
     from pdunet_tpu.ops.radon.filtering import filter_sinogram
-    from pdunet_tpu.ops.radon.parallel import make_batch_padder
+    from pdunet_tpu.ops.radon.parallel import padded_batch_caller
 
     plan = build_fan_plan(geom, dtype)
     ds = plan.par_plan.geom.det_spacing
+    through = padded_batch_caller(mesh, batch_axis)
     if mesh is not None:
-        pad_batch = make_batch_padder(mesh, batch_axis)
-
-        def through(fn, x):
-            xb, restore = _collapse_batch(x, 2)
-            xb, pad = pad_batch(xb)
-            out = fn(xb)
-            return restore(out[: out.shape[0] - pad] if pad else out)
-
         _proj = lambda f: through(
             lambda x: fan_project(plan, x, mesh, angle_axis, batch_axis), f)
         _bproj = lambda p: through(
@@ -326,17 +319,15 @@ def make_fan_ops(geom: FanGeometry, dtype=jnp.float32, mesh=None,
     At.defvjp(At_fwd, At_bwd)
 
     def fbp(p, filter_name: str = "ramp"):
-        pf, restore = _collapse_batch(p, 2)
-        if mesh is not None:
-            pf, pad = pad_batch(pf)
-        p_ext = fan_rebin_to_parallel(plan, pf)
-        filt = filter_sinogram(p_ext, ds, filter_name) * plan.wrow[None, :, None]
-        out = parallel_backproject(plan.par_plan, filt, mesh=mesh,
-                                   angle_axis=angle_axis,
-                                   batch_axis=batch_axis)
-        if mesh is not None and pad:
-            out = out[: out.shape[0] - pad]
-        return restore(out)
+        def body(pf):
+            p_ext = fan_rebin_to_parallel(plan, pf)
+            filt = (filter_sinogram(p_ext, ds, filter_name)
+                    * plan.wrow[None, :, None])
+            return parallel_backproject(plan.par_plan, filt, mesh=mesh,
+                                        angle_axis=angle_axis,
+                                        batch_axis=batch_axis)
+
+        return through(body, p)
 
     return RadonOps(
         A=A,

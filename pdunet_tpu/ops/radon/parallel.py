@@ -136,6 +136,26 @@ def make_batch_padder(mesh, batch_axis):
     return pad_batch
 
 
+def padded_batch_caller(mesh=None, batch_axis=None):
+    """The one pad/call/unpad wrapper every sharded operator bundle uses:
+    ``through(fn, x)`` collapses all leading dims into one batch dim, pads
+    it up to the mesh's batch-axis size (no-op without a mesh), calls
+    ``fn`` on the padded (B, *event) array, slices the pad back off, and
+    restores the leading dims. Shared by the parallel, fan, and NUFFT
+    bundles so the padding contract lives in exactly one place."""
+    pad_batch = make_batch_padder(mesh, batch_axis) if mesh is not None else None
+
+    def through(fn, x, ndim_event: int = 2):
+        xb, restore = _collapse_batch(x, ndim_event)
+        pad = 0
+        if pad_batch is not None:
+            xb, pad = pad_batch(xb)
+        out = fn(xb)
+        return restore(out[: out.shape[0] - pad] if pad else out)
+
+    return through
+
+
 # 'auto' uses the fused Pallas kernels on TPU and the einsum pipeline (the
 # jnp twin, SURVEY.md §4.2 tier 4) elsewhere. Overridable per call or
 # globally (set_default_impl) for A/B benchmarking.
@@ -332,20 +352,13 @@ def make_parallel_ops(geom: ParallelGeometry, dtype=jnp.float32, mesh=None,
             angle_sharded_project,
         )
 
-        _pad_batch = make_batch_padder(mesh, batch_axis)
-
-        def _proj(f):
-            fb, restore = _collapse_batch(f, 2)
-            fb, pad = _pad_batch(fb)
-            out = angle_sharded_project(plan, fb, mesh, angle_axis, batch_axis)
-            return restore(out[: out.shape[0] - pad] if pad else out)
-
-        def _bproj(p):
-            pb, restore = _collapse_batch(p, 2)
-            pb, pad = _pad_batch(pb)
-            out = angle_sharded_backproject(
-                plan, pb, mesh, angle_axis, batch_axis)
-            return restore(out[: out.shape[0] - pad] if pad else out)
+        through = padded_batch_caller(mesh, batch_axis)
+        _proj = lambda f: through(
+            lambda x: angle_sharded_project(
+                plan, x, mesh, angle_axis, batch_axis), f)
+        _bproj = lambda p: through(
+            lambda x: angle_sharded_backproject(
+                plan, x, mesh, angle_axis, batch_axis), p)
     else:
         _proj = lambda f: parallel_project(plan, f)
         _bproj = lambda p: parallel_backproject(plan, p)

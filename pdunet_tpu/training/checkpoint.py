@@ -103,9 +103,22 @@ class CheckpointManager:
                 state_template
             ):
                 raise
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(flipped)
-            )
+            try:
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(flipped)
+                )
+            except ValueError:
+                # neither naming matches: the structural change is real —
+                # most likely the optimizer tree (e.g. train.grad_clip
+                # toggled, which wraps adam in optax.chain). Surface the
+                # actual cause instead of the name-flipped mismatch.
+                raise ValueError(
+                    f"checkpoint at step {step} does not match the current "
+                    "train-state structure under either remat naming — the "
+                    "optimizer tree likely changed since it was saved "
+                    "(e.g. train.grad_clip toggled). Restore with the "
+                    "config the run was trained with."
+                ) from e
             return _flip_remat_names(restored)
 
     def wait(self):

@@ -220,8 +220,11 @@ def train(
             lambda _i: _host_images(next(batch_iter)), depth=2
         )
         n_val_batches = max(1, -(-tc.val_slices // tc.batch_size))
+        # a read error here must propagate: silently falling back to the
+        # train batch would make best-ckpt selection score on training data
+        # for the whole run with no diagnostic
+        val_ds = SliceDataset(data, split="val")
         try:
-            val_ds = SliceDataset(data, split="val")
             if len(val_ds) >= tc.batch_size:
                 it = iterate_batches(val_ds, tc.batch_size, shuffle=False)
                 val_images = [
@@ -229,9 +232,8 @@ def train(
                     for b, _ in zip(it, range(
                         min(n_val_batches, len(val_ds) // tc.batch_size)))
                 ]
+        finally:
             val_ds.close()
-        except Exception:
-            pass
         if val_images is None:  # tiny datasets: validate on the first batch
             val_images = [_host_images(
                 next(iterate_batches(train_ds, tc.batch_size, shuffle=False))
