@@ -72,7 +72,10 @@ MATRIX_BATCH = {
     "lpd_parallel": 256,
     "pdunet_fan": 128,
     "pdunet_radial": 64,
-    "sino_unet_radial": 64,
+    # the spoke-upsampling batch synthesizes the DENSE 512-spoke k-space
+    # (extended backing grid, S_ext≈729): at batch 64 the stacked (Re, Im)
+    # stage-1 Pallas block exceeds the 16 MB scoped-VMEM limit
+    "sino_unet_radial": 32,
 }
 
 #: which batch entry each model kind's recon_fn re-consumes as the timing
@@ -129,10 +132,33 @@ def bench_preset_recon(name: str, batch_size: int) -> dict:
         carry_key = "k_in_w" if config.geometry.kind == "radial" else "sino_in"
     else:
         carry_key = _CARRY_KEY[config.model.kind]
-    dt = timeit(
-        lambda x: task.recon_fn(params, dict(batch, **{carry_key: x})),
-        batch[carry_key],
-    )
+
+    import jax.numpy as jnp
+
+    # Complex leaves (radial MRI: f0/sino/image_c are complex64) cannot be
+    # jit closure constants on axon — HLO embedding reads the constant back
+    # to the host and complex64 readback is UNIMPLEMENTED (utils/device.py
+    # quirk list). Close over (re, im) real pairs and rebuild with
+    # lax.complex inside the traced fn; the carry enters as a jit ARGUMENT
+    # (device-resident, never read back), so it may stay complex.
+    carry0 = batch.pop(carry_key)
+    real_consts, cplx_keys = {}, []
+    for k, v in batch.items():
+        if jnp.iscomplexobj(v):
+            real_consts[k] = (jnp.real(v), jnp.imag(v))
+            cplx_keys.append(k)
+        else:
+            real_consts[k] = v
+
+    def recon_with_carry(x):
+        b = {
+            k: (jax.lax.complex(*v) if k in cplx_keys else v)
+            for k, v in real_consts.items()
+        }
+        b[carry_key] = x
+        return task.recon_fn(params, b)
+
+    dt = timeit(recon_with_carry, carry0)
     return {
         "preset": name,
         "batch": batch_size,
@@ -249,6 +275,14 @@ def main(argv=None):
                     "tflops_per_slice": round(flops / args.batch / 1e12, 6),
                     "achieved_tflops_per_sec": round(achieved / 1e12, 2),
                     "mxu_util_vs_bf16_peak": round(achieved / 197e12, 4),
+                    # XLA's cost analysis reports ZERO flops for custom
+                    # calls, so the Pallas projector kernels (~26 GFLOP/
+                    # slice, ~53% of recon wall time; standalone A runs at
+                    # ~50% of MXU peak) are excluded — this utilization
+                    # figure covers the conv/UNet half only and is a strict
+                    # lower bound on whole-recon MXU utilization.
+                    "note": "excludes Pallas custom-call flops (XLA "
+                            "cost_analysis reports 0 for custom calls)",
                 }
         except Exception as e:  # cost_analysis is best-effort per backend
             details["roofline"] = {"error": str(e)}

@@ -7,22 +7,24 @@ Replaces torch-radon's ``RadonFanbeam`` CUDA kernels (SURVEY.md §2b C1, §2c
     p_fan(β, γ) = p_par(θ = β + γ,  s = R·sinγ),      tanγ = u / (R + D),
 
 so the fan operator factors into the MXU-friendly parallel projector
-sandwiched between static rebinning maps. The maps are *axis-separable* —
-crucial for TPU, where flat irregular gathers are ~500× slower than
-minor-axis take_along_axis (measured):
+sandwiched between static rebinning maps. The maps are *axis-separable*,
+and both separable stages run as matmuls (on TPU even minor-axis
+take_along_axis runs at gather speed, ~1e8 elem/s — it dominated the fan
+recon wall time until the 2-tap angle interp became a banded contraction):
 
   * The backing parallel sinogram is computed on an **extended angle grid**
     θ_i = β₀ + (i − margin)·Δβ covering [β₀ − γ_max, β_last + γ_max] with the
     *same spacing as the fan scan*, so the angle coordinate of (β_k, u) is
     exactly k + c(u): an integer row index plus a per-detector fractional
-    shift. Angle interpolation is then a 2-tap take_along_axis; no mod-π
+    shift. Angle interpolation is then a 2-banded per-detector matmul
+    against weights generated on the fly (``_band_weights``); no mod-π
     flip logic is needed at apply time (the parallel projector accepts any
     angle, conjugate rows are simply computed directly).
   * The detector coordinate depends only on u (s = R·sinγ(u)), so detector
     resampling is a small dense matmul with a 2-banded matrix (MXU).
 
-Forward = project_ext → (· @ Ms) → angle-gather;  adjoint is the exact
-elementwise transpose (pad-and-gather + Msᵀ matmul — no scatters in either
+Forward = project_ext → (· @ Ms) → banded angle matmul;  adjoint is the
+exact transpose of each factor (no gathers or scatters in either
 direction). FBP rebins fan→parallel the same way, weights rows by the local
 direction multiplicity (conjugate rays covered ~twice on a 2π scan), ramp
 filters, and backprojects; limited-angle scans simply have zero-padded
@@ -184,41 +186,51 @@ def build_fan_plan(geom: FanGeometry, dtype=jnp.float32) -> FanPlan:
     ))
 
 
+def _band_weights(base: jnp.ndarray, frac: jnp.ndarray, n_out: int,
+                  n_in: int, pad: int, dtype) -> jnp.ndarray:
+    """(U, n_out, n_in + 2·pad) two-banded interpolation weights, generated
+    on the fly from the compact per-column (base, frac) arrays: row o of
+    column u reads padded input rows o+base_u (weight 1−frac_u) and
+    o+base_u+1 (weight frac_u). VPU iota/compares — a few MB, regenerated
+    per call so the plan stays compact (geometry.py rationale)."""
+    i = jnp.arange(n_in + 2 * pad)[None, None, :]
+    o = jnp.arange(n_out)[None, :, None]
+    b = base[:, None, None] + pad
+    f = frac[:, None, None].astype(dtype)
+    one = jnp.ones((), dtype)
+    return ((i == o + b).astype(dtype) * (one - f)
+            + (i == o + b + 1).astype(dtype) * f)
+
+
 def _gather_rows(x: jnp.ndarray, base: jnp.ndarray, frac: jnp.ndarray,
                  n_out: int, pad: int) -> jnp.ndarray:
     """Separable 2-tap angle interp: x (B, n_in, U) → (B, n_out, U) with
     out[b, k, u] = (1−frac_u)·x[b, k + base_u, u] + frac_u·x[b, k + base_u + 1, u].
 
     ``base`` may be negative; ``pad`` zero-rows are added on both sides so
-    every index lands in range. Gathers run along the minor axis (transpose
-    sandwich) — the TPU-fast layout.
+    every index lands in range. Implemented as a u-batched MXU contraction
+    against on-the-fly banded weights: even minor-axis take_along_axis runs
+    at gather speed (~1e8 elem/s) and dominated the fan recon wall time
+    (measured 86.8 slices/s with gathers; the two taps as a matmul put the
+    rebin back on the MXU).
     """
     B, n_in, U = x.shape
-    xT = jnp.moveaxis(x, 1, 2)                         # (B, U, n_in)
-    xT = jnp.pad(xT, ((0, 0), (0, 0), (pad, pad)))
-    idx = (
-        jnp.arange(n_out)[None, :] + base[:, None] + pad
-    )                                                   # (U, n_out)
-    idx = jnp.broadcast_to(idx[None], (B, U, n_out))
-    v0 = jnp.take_along_axis(xT, idx, axis=-1)
-    v1 = jnp.take_along_axis(xT, idx + 1, axis=-1)
-    w = frac[None, :, None]
-    return jnp.moveaxis((1.0 - w) * v0 + w * v1, 2, 1)
+    W = _band_weights(base, frac, n_out, n_in, pad, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    out = jnp.einsum("uoi,biu->bou", W, xp,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _scatter_rows_T(y: jnp.ndarray, base: jnp.ndarray, frac: jnp.ndarray,
                     n_in: int, pad: int) -> jnp.ndarray:
-    """Exact transpose of :func:`_gather_rows` — still a gather:
-    x̃[b, i, u] = (1−frac_u)·y[b, i − base_u, u] + frac_u·y[b, i − base_u − 1, u]."""
+    """Exact transpose of :func:`_gather_rows`: the same banded weights
+    contracted over the output axis, then the zero-pad rows sliced off."""
     B, n_out, U = y.shape
-    yT = jnp.moveaxis(y, 1, 2)
-    yT = jnp.pad(yT, ((0, 0), (0, 0), (pad, pad)))
-    idx = jnp.arange(n_in)[None, :] - base[:, None] + pad
-    idx = jnp.broadcast_to(idx[None], (B, U, n_in))
-    v0 = jnp.take_along_axis(yT, idx, axis=-1)
-    v1 = jnp.take_along_axis(yT, idx - 1, axis=-1)
-    w = frac[None, :, None]
-    return jnp.moveaxis((1.0 - w) * v0 + w * v1, 2, 1)
+    W = _band_weights(base, frac, n_out, n_in, pad, y.dtype)
+    out = jnp.einsum("uoi,bou->biu", W, y,
+                     preferred_element_type=jnp.float32)
+    return out[:, pad:pad + n_in].astype(y.dtype)
 
 
 def fan_project(plan: FanPlan, image: jnp.ndarray, mesh=None,
