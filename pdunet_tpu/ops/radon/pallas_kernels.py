@@ -104,9 +104,23 @@ def _adj_kernel(pos_ref, shift_ref, spec_ref, wc_ref, ws_ref, p_ref, out_ref,
     out_ref[...] += contrib
 
 
-def _batch_block(B: int) -> int:
+def _batch_block(B: int, N: int, K: int, A_g: int, S: int) -> int:
+    """Largest batch tile whose VMEM working set stays under the ~16 MB
+    scoped limit. The per-batch-row live set is ≈ (2·N² [image/accum] +
+    A_g·S [sino block] + 2·N·K [spectral re/im]) f32, plus a fixed
+    (4·N·K angle tensors + 2·K·S DFT matrices + 2·A_g·N plan rows). The
+    model overestimates by ~1.3× (compiler-measured 19.41 MB at bb=8 on the
+    dense-radial plan vs 25.2 MB modeled), so the acceptance threshold is
+    calibrated to the measured pass/fail boundary rather than the raw
+    limit: the sparse-radial plan at bb=8 (21.9 MB modeled) compiles and
+    runs, the dense 512-spoke synthesis plan at bb=8 (25.2 MB modeled,
+    19.41 real) OOMs the kernel stack — 22 MB modeled splits them, keeping
+    the flagship parallel plan (11.6 MB) and sparse radial at bb=8 while
+    dropping the dense plan to bb=4 (15.6 modeled ≈ 12.7 real)."""
+    fixed = (4 * N * K + 2 * K * S + 2 * A_g * N) * 4
+    per = (2 * N * N + A_g * S + 2 * N * K) * 4
     for cand in (8, 4, 2, 1):
-        if B % cand == 0:
+        if B % cand == 0 and fixed + cand * per <= 22_000_000:
             return cand
     return 1
 
@@ -118,7 +132,7 @@ def project_group_pallas(f, pos, shift, spec, Wc, Ws, L, contract_x,
     B, N, _ = f.shape
     A_g = pos.shape[0]
     K, S = Wc.shape
-    bb = _batch_block(B)
+    bb = _batch_block(B, N, K, A_g, S)
     cdt = jnp.bfloat16 if bf16 else jnp.float32
     kern = functools.partial(_fwd_kernel, L=L, contract_x=contract_x, cdt=cdt)
     full2 = lambda arr: pl.BlockSpec(arr.shape, lambda b, a: (0,) * arr.ndim,
@@ -145,7 +159,7 @@ def backproject_group_pallas(p, pos, shift, spec, Wc, Ws, L, contract_x, N,
     """Fused adjoint for one angle group: p (B, A_g, S) → (B, N, N)."""
     B, A_g, S = p.shape
     K = Wc.shape[0]
-    bb = _batch_block(B)
+    bb = _batch_block(B, N, K, A_g, S)
     cdt = jnp.bfloat16 if bf16 else jnp.float32
     kern = functools.partial(_adj_kernel, L=L, contract_x=contract_x, cdt=cdt)
     full2 = lambda arr: pl.BlockSpec(arr.shape, lambda b, a: (0,) * arr.ndim,
