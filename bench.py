@@ -252,6 +252,10 @@ def main(argv=None):
                    "dtype": args.dtype}}
         import jax.numpy as jnp
 
+        from pdunet_tpu.geometry import build_parallel_plan
+
+        _, sparse_geom = build_geometries(config.geometry)
+
         # Roofline readout: XLA's own FLOP count for the compiled recon ×
         # measured executions/sec vs the chip's bf16 MXU peak (v5e ≈ 197
         # TFLOP/s). "Speed of light" for this workload is NOT 100%: the
@@ -268,6 +272,24 @@ def main(argv=None):
             flops = float(cost.get("flops", 0.0))
             if flops > 0:
                 achieved = flops / dt
+                # Analytic FLOPs for the Pallas projector calls (XLA's
+                # cost model scores custom calls at zero): per angle group
+                # the factored pipeline is stage-1 2×(A_g·N²·K) MACs +
+                # stage-2 4×(A_g·N·K) + stage-3 2×(A_g·K·S); the adjoint
+                # transposes the same factors. 2 FLOP per MAC; the recon
+                # runs n_iters forward+adjoint pairs.
+                plan = build_parallel_plan(sparse_geom)
+                m = plan.meta
+                A_tot, N_, K_ = (m["A_x"] + m["A_y"]), m["N"], plan.spec.shape[0]
+                S_ = plan.Wc.shape[1]
+                per_apply = 2 * (
+                    2 * A_tot * N_ * N_ * K_
+                    + 4 * A_tot * N_ * K_
+                    + 2 * A_tot * K_ * S_
+                )
+                proj_flops_slice = 2 * args.n_iters * per_apply
+                total_slice = flops / args.batch + proj_flops_slice
+                achieved_total = total_slice * args.batch / dt
                 details["roofline"] = {
                     "device_kind": jax.devices()[0].device_kind,
                     "peak_ref": "v5e bf16 MXU ~197 TFLOP/s",
@@ -281,13 +303,23 @@ def main(argv=None):
                     # ~50% of MXU peak) are excluded — this utilization
                     # figure covers the conv/UNet half only and is a strict
                     # lower bound on whole-recon MXU utilization.
-                    "note": "excludes Pallas custom-call flops (XLA "
-                            "cost_analysis reports 0 for custom calls)",
+                    # XLA scores custom calls at zero flops, so the
+                    # conv-only figure above is a strict lower bound; the
+                    # *_total fields add the analytic factored-projector
+                    # flops for the 2·n_iters Pallas applies per recon.
+                    "projector_tflops_per_slice_analytic": round(
+                        proj_flops_slice / 1e12, 6),
+                    "total_tflops_per_slice": round(total_slice / 1e12, 6),
+                    "achieved_total_tflops_per_sec": round(
+                        achieved_total / 1e12, 2),
+                    "mxu_util_total_est": round(achieved_total / 197e12, 4),
+                    "note": "conv-only figures exclude Pallas custom-call "
+                            "flops (XLA cost_analysis reports 0); *_total "
+                            "adds analytic projector flops",
                 }
         except Exception as e:  # cost_analysis is best-effort per backend
             details["roofline"] = {"error": str(e)}
 
-        _, sparse_geom = build_geometries(config.geometry)
         # operator benches must run at the same compute dtype the headline
         # config uses — an f32 plan under a bf16 label misreports them
         op_dtype = (
