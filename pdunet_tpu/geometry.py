@@ -42,8 +42,11 @@ plan-build time* into static MXU-friendly tensors:
   something the reference's ray-driven-forward / pixel-driven-backward pair
   (torch-radon) only satisfies approximately.
 
-  The stage-1 output grid is extended by the maximum stage-2 shift M on both
-  sides so no mass is clipped before the shear can move it back in range.
+  The stage-1 output grid is extended by M bins on both sides — not to hold
+  the maximum stage-2 shift (both stages are spectral, so the intermediate
+  never materializes and cannot clip), but to keep the circularly wrapped
+  ringing of out-of-window mass away from the detector read window (see the
+  wrap-safety derivation at the M computation below).
 
 No gathers, no scatters, no dynamic shapes: everything lands on the MXU.
 """
@@ -251,6 +254,17 @@ def _kb(t: np.ndarray, width: float, beta: float) -> np.ndarray:
 KB_WIDTH = 4.0          # KB support in detector bins (gridding standard, σ=2)
 KB_BETA = math.pi * math.sqrt((KB_WIDTH / 2.0) ** 2 * (2.0 - 0.5) ** 2 - 0.8)
 
+#: half the minimum separation (in detector bins) between the read window
+#: and the circularly wrapped band-limit ringing of out-of-window mass —
+#: see the M computation in build_parallel_plan. Raising it reproduces the
+#: conservative per-stage bound (M is capped there), at ~20-30% more FLOPs.
+RING_GUARD = 24
+
+#: floor for the same separation when snapping K down to a 128-lane MXU
+#: tile boundary (see build_parallel_plan) — snapping never cuts the
+#: wrap separation below 2·MIN_RING_GUARD bins.
+MIN_RING_GUARD = 16
+
 
 def build_parallel_plan(
     geom: ParallelGeometry, dtype=jnp.float32, footprint: str = "hat"
@@ -301,14 +315,44 @@ def build_parallel_plan(
         raise ValueError(f"unknown footprint {footprint!r}")
 
     half = (N - 1) / 2.0 * dp
-    # Max stage-2 shift in detector bins (secondary direction cosine ≤ √2/2)
-    # plus the footprint half-support.
-    M = int(math.ceil(half * (math.sqrt(0.5)) / ds + half_support)) + 1
-    D = 2 * M + 1
+    # Wrap-safety extension M. Stages 1+2 compose into a SINGLE spectral
+    # placement at the composite detector position (prim·x_i + seco·x_j)/δs
+    # — both stages are exact spectral operations, so the sheared
+    # intermediate never materializes in position space and the extension
+    # does NOT need the per-stage worst case (the old bound, kept below as
+    # a cap: max shear half·√2/2/δs ≈ 0.35·N·δp/δs bins). The composite
+    # positions span ±dh = ±(half·max_a(|cosθ_a|+|sinθ_a|)/δs + support)
+    # around the window center; with overhang ov = dh − (S−1)/2 the
+    # circular grid L = S + 2M keeps a wrapped tail 2M − ov bins away from
+    # the read window [0, S). The splat is the *band-limited* kernel, whose
+    # position-space ringing decays like spec(π/δs)/(π·d) at distance d, so
+    # a 2·ring_guard-bin separation bounds wrapped-ringing contamination at
+    # ~0.4/(π·48) ≈ 3e-3 of a unit mass for the hat (KB rings less) —
+    # below the oracle-test floor (tests/test_radon_parallel.py,
+    # test_fourier_slice.py assert accuracy is unchanged). At the shipped
+    # geometries this cuts K (and every MXU stage, which scales with K) by
+    # ~20% (flagship CT) to ~30% (radial/fan backing plans, whose window
+    # already spans the diagonal so ov = 0).
+    m_ang = float(np.max(np.abs(cos) + np.abs(sin)))
+    dh = half * m_ang / ds + half_support
+    ov = max(0.0, dh - (S - 1) / 2.0)
+    M_old = int(math.ceil(half * math.sqrt(0.5) / ds + half_support)) + 1
+    M = min(int(math.ceil(ov / 2.0)) + RING_GUARD, M_old)
+    # Snap K down to the MXU lane-tile boundary: every matmul and VPU stage
+    # pads its K axis to multiples of 128 lanes, so K=389 and K=512 cost
+    # identically — landing exactly on a boundary is pure savings. Snap only
+    # when the wrap separation keeps at least MIN_RING_GUARD bins per side.
+    K_cur = (S + 2 * M) // 2 + 1
+    K_tile = ((K_cur - 1) // 128) * 128
+    if K_tile >= 128:
+        # largest L of S's parity with L//2 + 1 <= K_tile
+        L_t = 2 * K_tile - 1 if S % 2 else 2 * (K_tile - 1)
+        M_t = (L_t - S) // 2
+        if M_t < M and 2 * M_t - ov >= 2 * MIN_RING_GUARD:
+            M = M_t
     S_ext = S + 2 * M
 
     centers = (np.arange(N) - (N - 1) / 2.0) * dp            # pixel center coords
-    s_ext = (np.arange(S_ext) - M - (S - 1) / 2.0) * ds      # extended detector grid
 
     L = S_ext
     K = L // 2 + 1
@@ -357,7 +401,7 @@ def build_parallel_plan(
     inv_perm[order] = np.arange(order.size)
 
     meta = dict(
-        N=N, S=S, M=M, D=D, S_ext=S_ext, K=K,
+        N=N, S=S, M=M, S_ext=S_ext, K=K,
         A_x=int(idx_x.size), A_y=int(idx_y.size),
         inv_perm=tuple(int(i) for i in inv_perm),
         idx_x=tuple(int(i) for i in idx_x),

@@ -109,18 +109,16 @@ def _batch_block(B: int, N: int, K: int, A_g: int, S: int) -> int:
     scoped limit. The per-batch-row live set is ≈ (2·N² [image/accum] +
     A_g·S [sino block] + 2·N·K [spectral re/im]) f32, plus a fixed
     (4·N·K angle tensors + 2·K·S DFT matrices + 2·A_g·N plan rows). The
-    model overestimates by ~1.3× (compiler-measured 19.41 MB at bb=8 on the
-    dense-radial plan vs 25.2 MB modeled), so the acceptance threshold is
-    calibrated to the measured pass/fail boundary rather than the raw
-    limit: the sparse-radial plan at bb=8 (21.9 MB modeled) compiles and
-    runs, the dense 512-spoke synthesis plan at bb=8 (25.2 MB modeled,
-    19.41 real) OOMs the kernel stack — 22 MB modeled splits them, keeping
-    the flagship parallel plan (11.6 MB) and sparse radial at bb=8 while
-    dropping the dense plan to bb=4 (15.6 modeled ≈ 12.7 real)."""
+    model slightly overestimates the compiler's measured stack (buffer
+    reuse): dense-512-spoke plan at K=389/bb=8 modeled 20.9 MB vs 18.95
+    real (OOM > 16), sparse-radial K=384/bb=8 modeled ≈ 13.8 (runs). A
+    17 MB modeled threshold splits every observed pass/fail pair with
+    margin, keeping the flagship parallel plan (~6.6 MB) and sparse
+    radial at bb=8 while dropping the dense synthesis plan to bb=4."""
     fixed = (4 * N * K + 2 * K * S + 2 * A_g * N) * 4
     per = (2 * N * N + A_g * S + 2 * N * K) * 4
     for cand in (8, 4, 2, 1):
-        if B % cand == 0 and fixed + cand * per <= 22_000_000:
+        if B % cand == 0 and fixed + cand * per <= 17_000_000:
             return cand
     return 1
 
