@@ -282,10 +282,18 @@ def main(argv=None):
                 m = plan.meta
                 A_tot, N_, K_ = (m["A_x"] + m["A_y"]), m["N"], plan.spec.shape[0]
                 S_ = plan.Wc.shape[1]
+                # Mirror-pair kernels share stage 1 across angle pairs:
+                # stage-1 units = pairs, stage-2/3 run per emitted row (2
+                # per pair, unpaired members masked).
+                if m.get("use_pairs"):
+                    units1 = m["P_x"] + m["P_y"]
+                    rows23 = 2 * units1
+                else:
+                    units1, rows23 = A_tot, A_tot
                 per_apply = 2 * (
-                    2 * A_tot * N_ * N_ * K_
-                    + 4 * A_tot * N_ * K_
-                    + 2 * A_tot * K_ * S_
+                    2 * units1 * N_ * N_ * K_
+                    + 4 * rows23 * N_ * K_
+                    + 2 * rows23 * K_ * S_
                 )
                 proj_flops_slice = 2 * args.n_iters * per_apply
                 total_slice = flops / args.batch + proj_flops_slice

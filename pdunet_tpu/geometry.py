@@ -197,6 +197,13 @@ class ParallelPlan:
         "pos_x", "shift_x",
         "pos_y", "shift_y",
         "spec", "Wc", "Ws",
+        # mirror-pair factorization (see _pair_group): per angle PAIR, one
+        # shared stage-1 row + both members' shift rows + the member-b
+        # conjugation sign and validity mask. Consumed only by the fused
+        # Pallas pair kernels; the einsum twin and the angle-sharded path
+        # keep using the per-angle arrays above.
+        "pair_pos_x", "pair_sha_x", "pair_shb_x", "pair_sgn_x", "pair_msk_x",
+        "pair_pos_y", "pair_sha_y", "pair_shb_y", "pair_sgn_y", "pair_msk_y",
     )
 
     def __init__(self, geom, meta, *arrays):
@@ -376,6 +383,98 @@ def build_parallel_plan(
     pos_x, shift_x = group_arrays(idx_x, primary_cos=True)
     pos_y, shift_y = group_arrays(idx_y, primary_cos=False)
 
+    # ---- mirror-pair factorization --------------------------------------
+    # Two angles in the same primary group share the dominant stage-1
+    # spectral matmul (≈95% of projector FLOPs: (B,N,N)x(N,K) per angle)
+    # whenever their primary direction cosines satisfy prim_b = ±prim_a:
+    #
+    #   prim_b = +prim_a  →  pos_b = pos_a          → ĝ_b = ĝ_a
+    #   prim_b = −prim_a  →  pos_b = C − pos_a      → ĝ_b[k] = e^{−2πikC/L}·conj(ĝ_a[k])
+    #                         (C = 2(M + c_s); f and spec are real)
+    #
+    # Uniform [0,π) scans pair θ ↔ π−θ (sgn −1), full-circle fan backings
+    # additionally pair θ ↔ θ+π and θ ↔ 2π−θ — in all cases the angle count
+    # of stage-1 matmuls nearly halves. Member b keeps its own shear row
+    # (seco is unconstrained); for sgn = −1 the constant C folds into that
+    # row, so the fused pair kernels (ops/radon/pallas_kernels.py) see a
+    # uniform (pos, sha, shb, sgn, msk) description. The per-angle arrays
+    # above stay authoritative for the einsum twin and the angle-sharded
+    # path; pairing substitutes prim_b by ±prim_a exactly (match tolerance
+    # 1e-12 on values computed from the same float64 angle tuple — the
+    # induced operator perturbation is ~1e-10 relative, far below the
+    # Pallas-vs-twin test tolerance).
+    C_fold = 2.0 * (M + c_s)
+
+    def pair_group(idx, primary_cos):
+        if idx.size == 0:
+            zN = np.zeros((0, N), np.float64)
+            z1 = np.zeros((0,), np.float64)
+            return dict(pos=zN, sha=zN, shb=zN, sgn=z1, msk=z1,
+                        ia=np.zeros(0, np.int64), ib=np.zeros(0, np.int64))
+        prim = cos[idx] if primary_cos else sin[idx]
+        pos_g = (prim[:, None] * centers[None, :] / ds) + M + c_s
+        seco = sin[idx] if primary_cos else cos[idx]
+        shift_g = M - seco[:, None] * centers[None, :] / ds
+        A_g = idx.size
+        matched = np.zeros(A_g, bool)
+        ia, ib, sgn = [], [], []
+        for i in range(A_g):
+            if matched[i]:
+                continue
+            matched[i] = True
+            partner, s = -1, 1.0
+            for j in range(i + 1, A_g):
+                if matched[j]:
+                    continue
+                if abs(prim[j] - prim[i]) < 1e-12:
+                    partner, s = j, 1.0
+                    break
+                if abs(prim[j] + prim[i]) < 1e-12:
+                    partner, s = j, -1.0
+                    break
+            if partner >= 0:
+                matched[partner] = True
+            ia.append(i)
+            ib.append(partner)
+            sgn.append(s)
+        ia = np.asarray(ia, np.int64)
+        ib = np.asarray(ib, np.int64)
+        sgn = np.asarray(sgn, np.float64)
+        msk = (ib >= 0).astype(np.float64)
+        ib_safe = np.where(ib >= 0, ib, ia)
+        shb = shift_g[ib_safe] - np.where(sgn < 0, C_fold, 0.0)[:, None]
+        return dict(pos=pos_g[ia], sha=shift_g[ia], shb=shb,
+                    sgn=sgn, msk=msk, ia=ia, ib=ib)
+
+    pr_x = pair_group(idx_x, primary_cos=True)
+    pr_y = pair_group(idx_y, primary_cos=False)
+    P_x, P_y = len(pr_x["ia"]), len(pr_y["ia"])
+
+    # Reassembly bookkeeping: the pair kernels emit rows
+    # [x-pair0 a, x-pair0 b, x-pair1 a, ..., y-pair0 a, ...]; invalid
+    # (unpaired) b rows are never selected. pair_take maps each adjoint
+    # input row back to an original angle (invalid rows read member a and
+    # are zeroed by the in-kernel mask).
+    A = len(angles)
+    pair_row_of_angle = np.full(A, -1, np.int64)
+    take_rows = []
+    off = 0
+    for pr, idx_g in ((pr_x, idx_x), (pr_y, idx_y)):
+        for p_i, (a_i, b_i) in enumerate(zip(pr["ia"], pr["ib"])):
+            pair_row_of_angle[idx_g[a_i]] = off + 2 * p_i
+            take_rows.append(int(idx_g[a_i]))
+            if b_i >= 0:
+                pair_row_of_angle[idx_g[b_i]] = off + 2 * p_i + 1
+                take_rows.append(int(idx_g[b_i]))
+            else:
+                take_rows.append(int(idx_g[a_i]))
+        off += 2 * len(pr["ia"])
+    n_take_x = 2 * P_x
+    # Worth fusing only when pairing actually shares matmuls: all-unpaired
+    # plans (golden-angle radial backings) would pay doubled stage-2 work
+    # for zero stage-1 savings.
+    use_pairs = (P_x + P_y) <= 0.9 * max(1, A)
+
     # continuous footprint spectrum at the rFFT frequencies ω_k = 2πk/(L·δs):
     # spec[k] = (δp²/δs)·(1/δs)·∫kernel(t)·cos(ω_k t) dt
     tq = np.linspace(-half_support * ds, half_support * ds, 4096)
@@ -406,6 +505,10 @@ def build_parallel_plan(
         inv_perm=tuple(int(i) for i in inv_perm),
         idx_x=tuple(int(i) for i in idx_x),
         idx_y=tuple(int(i) for i in idx_y),
+        P_x=P_x, P_y=P_y, use_pairs=bool(use_pairs),
+        pair_inv_perm=tuple(int(i) for i in pair_row_of_angle),
+        pair_take_x=tuple(take_rows[:n_take_x]),
+        pair_take_y=tuple(take_rows[n_take_x:]),
         # matmul operand dtype; positions/phases always stay f32 (trig
         # arguments span hundreds of radians — bf16 would destroy them)
         compute_dtype=np.dtype(dtype).name if dtype != jnp.float32 else "float32",
@@ -428,4 +531,8 @@ def build_parallel_plan(
         dev(pos_x), dev(shift_x),
         dev(pos_y), dev(shift_y),
         dev(spec), dev(Wc), dev(Ws),
+        dev(pr_x["pos"]), dev(pr_x["sha"]), dev(pr_x["shb"]),
+        dev(pr_x["sgn"]), dev(pr_x["msk"]),
+        dev(pr_y["pos"]), dev(pr_y["sha"]), dev(pr_y["shb"]),
+        dev(pr_y["sgn"]), dev(pr_y["msk"]),
     ))

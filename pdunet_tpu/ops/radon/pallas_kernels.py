@@ -18,6 +18,17 @@ and row-indexed dynamically with the angle program id.
 
 Every kernel has the einsum path as its jnp twin (SURVEY.md §4.2 tier 4):
 tests assert allclose in interpreter mode, and CPU runs use the twin.
+
+Two kernel families:
+
+* per-angle (``project_group_pallas``) — one grid step per angle; used by
+  the angle-sharded path (each shard owns an arbitrary angle subset).
+* mirror-pair (``project_pair_group_pallas``) — one grid step per angle
+  PAIR θ ↔ π−θ (geometry.py pair_group): the stage-1 matmul — ~95% of
+  projector FLOPs — runs once per pair and serves both members via
+  spectral conjugation, nearly halving MXU work on uniform scans. The
+  unsharded production path uses these whenever the plan's angle set
+  pairs (plan.meta["use_pairs"]).
 """
 
 from __future__ import annotations
@@ -31,7 +42,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["project_group_pallas", "backproject_group_pallas"]
+__all__ = [
+    "project_group_pallas", "backproject_group_pallas",
+    "project_pair_group_pallas", "backproject_pair_group_pallas",
+]
 
 
 def _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L, cdt):
@@ -93,6 +107,101 @@ def _adj_kernel(pos_ref, shift_ref, spec_ref, wc_ref, ws_ref, p_ref, out_ref,
     # f̃[b, row, other] += Σ_k h[b, row, k]·T̂[other, k] — contract K.
     # (For the y-group "row" is the x-axis; the caller transposes once at
     # the end — an in-kernel per-angle transpose measured 2× slower.)
+    dn = (((2,), (1,)), ((), ()))
+    contrib = lax.dot_general(h_re, tc, dn, preferred_element_type=jnp.float32)
+    contrib = contrib + lax.dot_general(h_im, ts, dn, preferred_element_type=jnp.float32)
+
+    @pl.when(a == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += contrib
+
+
+def _pair_tensors(pos_ref, sha_ref, shb_ref, spec_ref, a, N, K, L, cdt):
+    """Mirror-pair variant of :func:`_angle_tensors`: one shared splat T̂
+    per pair plus both members' shear phases (geometry.py pair_group —
+    member b's conjugation constant is folded into its shift row)."""
+    k = (2.0 * math.pi / L) * lax.broadcasted_iota(jnp.int32, (N, K), 1).astype(jnp.float32)
+    pos = pos_ref[pl.ds(a, 1), :].reshape(N, 1)
+    ang_t = pos * k
+    spec = spec_ref[0, :][None, :]
+    tc = (spec * jnp.cos(ang_t)).astype(cdt)            # (N, K)
+    ts = (-spec * jnp.sin(ang_t)).astype(cdt)
+    ang_a = sha_ref[pl.ds(a, 1), :].reshape(N, 1) * k
+    ang_b = shb_ref[pl.ds(a, 1), :].reshape(N, 1) * k
+    return (tc, ts,
+            jnp.cos(ang_a).astype(cdt), jnp.sin(ang_a).astype(cdt),
+            jnp.cos(ang_b).astype(cdt), jnp.sin(ang_b).astype(cdt))
+
+
+def _fwd_pair_kernel(pos_ref, sha_ref, shb_ref, sgn_ref, spec_ref, wc_ref,
+                     ws_ref, f_ref, out_ref, *, L: int, contract_x: bool, cdt):
+    """One angle PAIR per grid step: the dominant stage-1 matmuls (ĝ = f·T̂)
+    run once and serve both members — member b's spectrum is ±conj(ĝ) with
+    its phase constant pre-folded into shb (geometry.py), so only the cheap
+    VPU shear-reduce and the small stage-3 DFT matmul run twice."""
+    B, N, _ = f_ref.shape
+    K, S = wc_ref.shape
+    a = pl.program_id(1)
+    tc, ts, pca, psa, pcb, psb = _pair_tensors(
+        pos_ref, sha_ref, shb_ref, spec_ref, a, N, K, L, cdt)
+    f = f_ref[...].astype(cdt)
+    cdim = 2 if contract_x else 1
+    dn = (((cdim,), (0,)), ((), ()))
+    gr = lax.dot_general(f, tc, dn, preferred_element_type=jnp.float32)
+    gi = lax.dot_general(f, ts, dn, preferred_element_type=jnp.float32)
+    wc = wc_ref[...].astype(cdt)
+    ws = ws_ref[...].astype(cdt)
+
+    def emit(pc, ps, gi_m, row):
+        pcf = pc[None].astype(jnp.float32)
+        psf = ps[None].astype(jnp.float32)
+        s_re = (gr * pcf - gi_m * psf).sum(axis=1).astype(cdt)   # (B, K)
+        s_im = (gr * psf + gi_m * pcf).sum(axis=1).astype(cdt)
+        out = (jnp.dot(s_re, wc, preferred_element_type=jnp.float32)
+               - jnp.dot(s_im, ws, preferred_element_type=jnp.float32))
+        out_ref[:, pl.ds(row, 1), :] = out[:, None, :]
+
+    emit(pca, psa, gi, 2 * a)
+    # sgn/msk live in SMEM: dynamic per-pair *scalars* — a VMEM load would
+    # need a lane index statically 128-aligned, and the loaded (1,1) tile
+    # can't broadcast across both sublanes and lanes under Mosaic
+    emit(pcb, psb, gi * sgn_ref[a], 2 * a + 1)
+
+
+def _adj_pair_kernel(pos_ref, sha_ref, shb_ref, sgn_ref, msk_ref, spec_ref,
+                     wc_ref, ws_ref, p_ref, out_ref,
+                     *, L: int, contract_x: bool, cdt):
+    """Exact transpose of :func:`_fwd_pair_kernel`: both members' cotangent
+    rows fold into one shared spectral h, then ONE stage-1ᵀ matmul per pair
+    accumulates the image. Invalid (unpaired) member-b rows are zeroed by
+    the mask."""
+    B = p_ref.shape[0]
+    K, S = wc_ref.shape
+    N = out_ref.shape[1]
+    a = pl.program_id(1)
+    tc, ts, pca, psa, pcb, psb = _pair_tensors(
+        pos_ref, sha_ref, shb_ref, spec_ref, a, N, K, L, cdt)
+    wcT = wc_ref[...].T.astype(cdt)
+    wsT = ws_ref[...].T.astype(cdt)
+
+    def member(pm, pc, ps):
+        s_re = jnp.dot(pm, wcT, preferred_element_type=jnp.float32)
+        s_im = -jnp.dot(pm, wsT, preferred_element_type=jnp.float32)
+        pcf = pc[None].astype(jnp.float32)
+        psf = ps[None].astype(jnp.float32)
+        h_re = s_re[:, None, :] * pcf + s_im[:, None, :] * psf     # (B, N, K)
+        h_im = -s_re[:, None, :] * psf + s_im[:, None, :] * pcf
+        return h_re, h_im
+
+    pa = p_ref[:, pl.ds(2 * a, 1), :].reshape(B, S).astype(cdt)
+    # sgn/msk are dynamic per-pair SMEM scalars (see _fwd_pair_kernel)
+    pb = (p_ref[:, pl.ds(2 * a + 1, 1), :].reshape(B, S) * msk_ref[a]).astype(cdt)
+    h_re_a, h_im_a = member(pa, pca, psa)
+    h_re_b, h_im_b = member(pb, pcb, psb)
+    h_re = (h_re_a + h_re_b).astype(cdt)
+    h_im = (h_im_a + sgn_ref[a] * h_im_b).astype(cdt)
     dn = (((2,), (1,)), ((), ()))
     contrib = lax.dot_general(h_re, tc, dn, preferred_element_type=jnp.float32)
     contrib = contrib + lax.dot_general(h_im, ts, dn, preferred_element_type=jnp.float32)
@@ -176,4 +285,81 @@ def backproject_group_pallas(p, pos, shift, spec, Wc, Ws, L, contract_x, N,
         ),
         interpret=interpret,
     )(pos, shift, spec[None, :], Wc, Ws, p)
+    return out if contract_x else out.transpose(0, 2, 1)
+
+
+def _pair_batch_block(B: int, N: int, K: int, P: int, S: int) -> int:
+    """VMEM batch-tile model for the pair kernels (same 17 MB budget as
+    :func:`_batch_block`): vs the per-angle kernels the fixed set adds two
+    more (N, K) phase tensors and a third (P, N) plan row block; the
+    per-batch-row set swaps the A_g·S sinogram block for 2P·S (≈ equal)."""
+    fixed = (8 * N * K + 2 * K * S + 3 * P * N) * 4
+    per = (2 * N * N + 2 * P * S + 2 * N * K) * 4
+    for cand in (8, 4, 2, 1):
+        if B % cand == 0 and fixed + cand * per <= 17_000_000:
+            return cand
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("L", "contract_x", "interpret", "bf16"))
+def project_pair_group_pallas(f, pos, sha, shb, sgn, spec, Wc, Ws, L,
+                              contract_x, interpret=False, bf16=False):
+    """Fused mirror-pair forward for one angle group:
+    f (B,N,N) → (B, 2P, S), rows interleaved [pair0-a, pair0-b, ...].
+    jnp twin: ops/radon/parallel.py::_project_pair_group."""
+    B, N, _ = f.shape
+    P = pos.shape[0]
+    K, S = Wc.shape
+    bb = _pair_batch_block(B, N, K, P, S)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    kern = functools.partial(_fwd_pair_kernel, L=L, contract_x=contract_x, cdt=cdt)
+    full2 = lambda arr: pl.BlockSpec(arr.shape, lambda b, a: (0,) * arr.ndim,
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, 2 * P, S), jnp.float32),
+        grid=(B // bb, P),
+        in_specs=[
+            full2(pos), full2(sha), full2(shb),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            full2(spec[None, :]), full2(Wc), full2(Ws),
+            pl.BlockSpec((bb, N, N), lambda b, a: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, 2 * P, S), lambda b, a: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(pos, sha, shb, sgn, spec[None, :], Wc, Ws, f)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "contract_x", "N", "interpret", "bf16"))
+def backproject_pair_group_pallas(p, pos, sha, shb, sgn, msk, spec, Wc, Ws,
+                                  L, contract_x, N, interpret=False, bf16=False):
+    """Fused mirror-pair adjoint for one angle group:
+    p (B, 2P, S) interleaved → (B, N, N).
+    jnp twin: ops/radon/parallel.py::_backproject_pair_group."""
+    B, twoP, S = p.shape
+    P = twoP // 2
+    K = Wc.shape[0]
+    bb = _pair_batch_block(B, N, K, P, S)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    kern = functools.partial(_adj_pair_kernel, L=L, contract_x=contract_x, cdt=cdt)
+    full2 = lambda arr: pl.BlockSpec(arr.shape, lambda b, a: (0,) * arr.ndim,
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+        grid=(B // bb, P),
+        in_specs=[
+            full2(pos), full2(sha), full2(shb),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            full2(spec[None, :]), full2(Wc), full2(Ws),
+            pl.BlockSpec((bb, 2 * P, S), lambda b, a: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, N, N), lambda b, a: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(pos, sha, shb, sgn, msk, spec[None, :], Wc, Ws, p)
     return out if contract_x else out.transpose(0, 2, 1)

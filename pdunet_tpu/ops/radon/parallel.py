@@ -119,6 +119,77 @@ def _backproject_group(p, pos, shift, spec, Wc, Ws, L, contract_x: bool,
             + _ein(sub1t, h_im.astype(cdt), Ts))
 
 
+def _pair_spectral_tensors(pos, sha, shb, spec, L, cdt=jnp.float32):
+    """Spectral tensors for the mirror-pair path (see geometry.py's
+    pair_group): one shared splat T̂ per pair plus BOTH members' shear
+    phases. Member b's conjugation constant is already folded into ``shb``."""
+    K = spec.shape[0]
+    k = jnp.arange(K, dtype=pos.dtype) * (2.0 * jnp.pi / L)
+    ang_t = pos[:, :, None] * k[None, None, :]
+    Tc = (spec * jnp.cos(ang_t)).astype(cdt)
+    Ts = (-spec * jnp.sin(ang_t)).astype(cdt)
+    ang_a = sha[:, :, None] * k[None, None, :]
+    ang_b = shb[:, :, None] * k[None, None, :]
+    return (Tc, Ts,
+            jnp.cos(ang_a).astype(cdt), jnp.sin(ang_a).astype(cdt),
+            jnp.cos(ang_b).astype(cdt), jnp.sin(ang_b).astype(cdt))
+
+
+def _project_pair_group(f, pos, sha, shb, sgn, spec, Wc, Ws, L,
+                        contract_x: bool, cdt=jnp.float32):
+    """Mirror-pair twin of :func:`_project_group`: ONE stage-1 matmul per
+    angle PAIR (ĝ shared; member b reuses it conjugated via ``sgn``), then
+    each member applies its own shear phases. f (B,N,N) → (B, 2P, S) with
+    rows interleaved [pair0-a, pair0-b, pair1-a, ...]."""
+    Tc, Ts, PcA, PsA, PcB, PsB = _pair_spectral_tensors(pos, sha, shb, spec, L, cdt)
+    f = f.astype(cdt)
+    Wc, Ws = Wc.astype(cdt), Ws.astype(cdt)
+    sub1 = "bji,pik->bpjk" if contract_x else "bji,pjk->bpik"
+    gr = _ein(sub1, f, Tc)
+    gi = _ein(sub1, f, Ts)
+    sub2 = "bpjk,pjk->bpk" if contract_x else "bpik,pik->bpk"
+
+    def member(Pc, Ps, gi_m):
+        s_re = _ein(sub2, gr, Pc) - _ein(sub2, gi_m, Ps)
+        s_im = _ein(sub2, gr, Ps) + _ein(sub2, gi_m, Pc)
+        return (_ein("bpk,ks->bps", s_re.astype(cdt), Wc)
+                - _ein("bpk,ks->bps", s_im.astype(cdt), Ws))
+
+    out_a = member(PcA, PsA, gi)
+    out_b = member(PcB, PsB, gi * sgn[None, :, None, None])
+    out = jnp.stack([out_a, out_b], axis=2)          # (B, P, 2, S)
+    return out.reshape(out.shape[0], -1, out.shape[-1])
+
+
+def _backproject_pair_group(p, pos, sha, shb, sgn, msk, spec, Wc, Ws, L,
+                            contract_x: bool, cdt=jnp.float32):
+    """Exact transpose of :func:`_project_pair_group`:
+    p (B, 2P, S) interleaved → f̃ (B,N,N), one stage-1ᵀ matmul per pair."""
+    Tc, Ts, PcA, PsA, PcB, PsB = _pair_spectral_tensors(pos, sha, shb, spec, L, cdt)
+    p = p.astype(cdt)
+    Wc, Ws = Wc.astype(cdt), Ws.astype(cdt)
+    B, twoP, S = p.shape
+    pp = p.reshape(B, twoP // 2, 2, S)
+    pa = pp[:, :, 0]
+    pb = pp[:, :, 1] * msk[None, :, None]
+    sub2t = "bpk,pjk->bpjk" if contract_x else "bpk,pik->bpik"
+
+    def member(pm, Pc, Ps):
+        s_re = _ein("bps,ks->bpk", pm, Wc).astype(cdt)
+        s_im = (-_ein("bps,ks->bpk", pm, Ws)).astype(cdt)
+        h_re = _ein(sub2t, s_re, Pc) + _ein(sub2t, s_im, Ps)
+        h_im = -_ein(sub2t, s_re, Ps) + _ein(sub2t, s_im, Pc)
+        return h_re, h_im
+
+    h_re_a, h_im_a = member(pa, PcA, PsA)
+    h_re_b, h_im_b = member(pb, PcB, PsB)
+    h_re = h_re_a + h_re_b
+    h_im = h_im_a + sgn[None, :, None, None] * h_im_b
+    sub1t = "bpjk,pik->bji" if contract_x else "bpik,pjk->bji"
+    return (_ein(sub1t, h_re.astype(cdt), Tc)
+            + _ein(sub1t, h_im.astype(cdt), Ts))
+
+
 def make_batch_padder(mesh, batch_axis):
     """shard_map needs the leading batch divisible by the data axis; pad
     with zero slices (model.init traces with batch 1, eval batches may be
@@ -178,7 +249,7 @@ def _resolve_impl(impl):
 
 def parallel_project(plan: ParallelPlan, image: jnp.ndarray, impl: str = None,
                      mesh=None, angle_axis: str = "angle",
-                     batch_axis: str = None) -> jnp.ndarray:
+                     batch_axis: str = None, interpret: bool = False) -> jnp.ndarray:
     """Factored parallel-beam forward projection. image (..., N, N) → (..., A, S).
 
     ``mesh``: shard the angle axis over ``angle_axis`` of the mesh
@@ -197,9 +268,32 @@ def parallel_project(plan: ParallelPlan, image: jnp.ndarray, impl: str = None,
     f, restore = _collapse_batch(image, 2)
     f = f.astype(jnp.float32)
     if _resolve_impl(impl) == "pallas":
-        from pdunet_tpu.ops.radon.pallas_kernels import project_group_pallas
+        from pdunet_tpu.ops.radon.pallas_kernels import (
+            project_group_pallas,
+            project_pair_group_pallas,
+        )
 
-        group = lambda *a: project_group_pallas(f, *a, bf16=cdt == jnp.bfloat16)
+        if meta.get("use_pairs"):
+            # Mirror-pair fast path: stage-1 matmuls shared across angle
+            # pairs (geometry.py pair_group) — ~2× fewer projector FLOPs
+            # on uniform scans. Outputs reassemble via the pair perm.
+            bf = cdt == jnp.bfloat16
+            parts = []
+            if meta["P_x"]:
+                parts.append(project_pair_group_pallas(
+                    f, plan.pair_pos_x, plan.pair_sha_x, plan.pair_shb_x,
+                    plan.pair_sgn_x, plan.spec, plan.Wc, plan.Ws, L, True,
+                    bf16=bf, interpret=interpret))
+            if meta["P_y"]:
+                parts.append(project_pair_group_pallas(
+                    f, plan.pair_pos_y, plan.pair_sha_y, plan.pair_shb_y,
+                    plan.pair_sgn_y, plan.spec, plan.Wc, plan.Ws, L, False,
+                    bf16=bf, interpret=interpret))
+            p = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            p = jnp.take(p, jnp.asarray(meta["pair_inv_perm"]), axis=1)
+            return restore(p.astype(image.dtype))
+        group = lambda *a: project_group_pallas(
+            f, *a, bf16=cdt == jnp.bfloat16, interpret=interpret)
     else:
         group = lambda *a: _project_group(f, *a, cdt=cdt)
     parts = []
@@ -216,7 +310,7 @@ def parallel_project(plan: ParallelPlan, image: jnp.ndarray, impl: str = None,
 
 def parallel_backproject(plan: ParallelPlan, sino: jnp.ndarray, impl: str = None,
                          mesh=None, angle_axis: str = "angle",
-                         batch_axis: str = None) -> jnp.ndarray:
+                         batch_axis: str = None, interpret: bool = False) -> jnp.ndarray:
     """Exact transpose of :func:`parallel_project`. sino (..., A, S) → (..., N, N)."""
     if mesh is not None:
         from pdunet_tpu.parallel.angle_shard import angle_sharded_backproject
@@ -230,10 +324,32 @@ def parallel_backproject(plan: ParallelPlan, sino: jnp.ndarray, impl: str = None
     p, restore = _collapse_batch(sino, 2)
     p = p.astype(jnp.float32)
     if _resolve_impl(impl) == "pallas":
-        from pdunet_tpu.ops.radon.pallas_kernels import backproject_group_pallas
+        from pdunet_tpu.ops.radon.pallas_kernels import (
+            backproject_group_pallas,
+            backproject_pair_group_pallas,
+        )
 
+        if meta.get("use_pairs"):
+            # Mirror-pair fast path (exact transpose of the paired forward).
+            bf = cdt == jnp.bfloat16
+            f = jnp.zeros((p.shape[0], N, N), jnp.float32)
+            if meta["P_x"]:
+                px = jnp.take(p, jnp.asarray(meta["pair_take_x"]), axis=1)
+                f = f + backproject_pair_group_pallas(
+                    px, plan.pair_pos_x, plan.pair_sha_x, plan.pair_shb_x,
+                    plan.pair_sgn_x, plan.pair_msk_x, plan.spec,
+                    plan.Wc, plan.Ws, L, True, N, bf16=bf,
+                    interpret=interpret)
+            if meta["P_y"]:
+                py = jnp.take(p, jnp.asarray(meta["pair_take_y"]), axis=1)
+                f = f + backproject_pair_group_pallas(
+                    py, plan.pair_pos_y, plan.pair_sha_y, plan.pair_shb_y,
+                    plan.pair_sgn_y, plan.pair_msk_y, plan.spec,
+                    plan.Wc, plan.Ws, L, False, N, bf16=bf,
+                    interpret=interpret)
+            return restore(f.astype(sino.dtype))
         group = lambda pp, *a: backproject_group_pallas(
-            pp, *a, N, bf16=cdt == jnp.bfloat16)
+            pp, *a, N, bf16=cdt == jnp.bfloat16, interpret=interpret)
     else:
         group = lambda pp, *a: _backproject_group(pp, *a, cdt=cdt)
     f = jnp.zeros((p.shape[0], N, N), jnp.float32)
