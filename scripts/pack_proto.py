@@ -8,6 +8,16 @@ can feed stage 3 as a single (b,4K)x(4K,S) matmul.
 
 Run on the TPU (exclusive): python scripts/pack_proto.py
 Run on CPU (interpret-mode correctness only): JAX_PLATFORMS=cpu python ...
+
+MEASURED RESULT (2026-08-18, v5e, flagship plan K=180 S=256 bf16 batch 32):
+fwd packed 0.90x (SLOWER), adj packed 1.01x (wash). The kernels are not
+MXU-lane-bound at these shapes — the VPU trig/phase generation and the
+shear-reduce dominate, so cutting stage-1 lane padding 512->384 buys
+nothing while the wider (B, rows, 2K) intermediate costs VMEM bandwidth.
+Kept as a prototype + negative result; do NOT integrate. The win that did
+land instead is the mirror-pair factorization (pallas_kernels.py), which
+removes half the stage-1 matmuls outright rather than shaving their
+padding.
 """
 
 from __future__ import annotations
