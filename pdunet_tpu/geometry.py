@@ -412,9 +412,7 @@ def build_parallel_plan(
             return dict(pos=zN, sha=zN, shb=zN, sgn=z1, msk=z1,
                         ia=np.zeros(0, np.int64), ib=np.zeros(0, np.int64))
         prim = cos[idx] if primary_cos else sin[idx]
-        pos_g = (prim[:, None] * centers[None, :] / ds) + M + c_s
-        seco = sin[idx] if primary_cos else cos[idx]
-        shift_g = M - seco[:, None] * centers[None, :] / ds
+        pos_g, shift_g = group_arrays(idx, primary_cos)
         A_g = idx.size
         matched = np.zeros(A_g, bool)
         ia, ib, sgn = [], [], []
@@ -474,6 +472,20 @@ def build_parallel_plan(
     # plans (golden-angle radial backings) would pay doubled stage-2 work
     # for zero stage-1 savings.
     use_pairs = (P_x + P_y) <= 0.9 * max(1, A)
+    if not use_pairs:
+        # nothing reads the pair arrays — don't duplicate ~1.5× the plan
+        # size on device (each dev() is also a separate materialize op)
+        empty = dict(pos=np.zeros((0, N)), sha=np.zeros((0, N)),
+                     shb=np.zeros((0, N)), sgn=np.zeros(0), msk=np.zeros(0))
+        pr_x = pr_y = empty
+        P_x = P_y = 0
+        meta_pairs = dict(pair_inv_perm=(), pair_take_x=(), pair_take_y=())
+    else:
+        meta_pairs = dict(
+            pair_inv_perm=tuple(int(i) for i in pair_row_of_angle),
+            pair_take_x=tuple(take_rows[:n_take_x]),
+            pair_take_y=tuple(take_rows[n_take_x:]),
+        )
 
     # continuous footprint spectrum at the rFFT frequencies ω_k = 2πk/(L·δs):
     # spec[k] = (δp²/δs)·(1/δs)·∫kernel(t)·cos(ω_k t) dt
@@ -506,9 +518,7 @@ def build_parallel_plan(
         idx_x=tuple(int(i) for i in idx_x),
         idx_y=tuple(int(i) for i in idx_y),
         P_x=P_x, P_y=P_y, use_pairs=bool(use_pairs),
-        pair_inv_perm=tuple(int(i) for i in pair_row_of_angle),
-        pair_take_x=tuple(take_rows[:n_take_x]),
-        pair_take_y=tuple(take_rows[n_take_x:]),
+        **meta_pairs,
         # matmul operand dtype; positions/phases always stay f32 (trig
         # arguments span hundreds of radians — bf16 would destroy them)
         compute_dtype=np.dtype(dtype).name if dtype != jnp.float32 else "float32",

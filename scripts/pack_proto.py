@@ -7,7 +7,9 @@ columns of work). Packing [tc|ts] along lanes makes stage 1 one matmul of
 can feed stage 3 as a single (b,4K)x(4K,S) matmul.
 
 Run on the TPU (exclusive): python scripts/pack_proto.py
-Run on CPU (interpret-mode correctness only): JAX_PLATFORMS=cpu python ...
+Run on CPU (interpret-mode correctness only): python scripts/pack_proto.py --cpu
+(the JAX_PLATFORMS env var is clobbered by the axon sitecustomize — only
+the --cpu flag / jax.config.update reliably forces CPU here)
 
 MEASURED RESULT (2026-08-18, v5e, flagship plan K=180 S=256 bf16 batch 32):
 fwd packed 0.90x (SLOWER), adj packed 1.01x (wash). The kernels are not
@@ -184,6 +186,7 @@ def main():
         newa = np.asarray(call_adj(_adj_kernel_packed, p, *argsa, interpret=interpret))
         erra = np.abs(refa - newa).max() / (np.abs(refa).max() + 1e-9)
         print(f"adj packed rel-err (bf16={bf16}): {erra:.3e}")
+        assert erra < (2e-2 if bf16 else 1e-5)
 
     if interpret:
         print("CPU interpret-mode correctness done (no timing).")

@@ -101,6 +101,10 @@ def test_pairing_metadata(plan):
     assert len(m["pair_take_x"]) == 2 * m["P_x"]
     assert len(m["pair_take_y"]) == 2 * m["P_y"]
     assert sorted(set(m["pair_inv_perm"])) == sorted(m["pair_inv_perm"])
+    # every angle must be assigned a pair row: an unassigned (-1) entry
+    # would be silently clipped to row 0 by jnp.take at runtime
+    assert min(m["pair_inv_perm"]) >= 0
+    assert len(m["pair_inv_perm"]) == m["A_x"] + m["A_y"]
 
 
 def test_golden_angle_plans_skip_pairing():
