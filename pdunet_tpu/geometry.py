@@ -197,11 +197,12 @@ class ParallelPlan:
         "pos_x", "shift_x",
         "pos_y", "shift_y",
         "spec", "Wc", "Ws",
-        # mirror-pair factorization (see _pair_group): per angle PAIR, one
-        # shared stage-1 row + both members' shift rows + the member-b
-        # conjugation sign and validity mask. Consumed only by the fused
-        # Pallas pair kernels; the einsum twin and the angle-sharded path
-        # keep using the per-angle arrays above.
+        # mirror-pair factorization (see pair_group below): per angle PAIR,
+        # one shared stage-1 row + both members' shift rows + the member-b
+        # conjugation sign and validity mask. Consumed by the fused Pallas
+        # pair kernels and the pair-sharded angle_shard path; the per-angle
+        # CPU einsum twin keeps using the arrays above. Empty (0, N) when
+        # the plan doesn't pair (use_pairs False).
         "pair_pos_x", "pair_sha_x", "pair_shb_x", "pair_sgn_x", "pair_msk_x",
         "pair_pos_y", "pair_sha_y", "pair_shb_y", "pair_sgn_y", "pair_msk_y",
     )
@@ -397,9 +398,10 @@ def build_parallel_plan(
     # of stage-1 matmuls nearly halves. Member b keeps its own shear row
     # (seco is unconstrained); for sgn = −1 the constant C folds into that
     # row, so the fused pair kernels (ops/radon/pallas_kernels.py) see a
-    # uniform (pos, sha, shb, sgn, msk) description. The per-angle arrays
-    # above stay authoritative for the einsum twin and the angle-sharded
-    # path; pairing substitutes prim_b by ±prim_a exactly (match tolerance
+    # uniform (pos, sha, shb, sgn, msk) description, and the angle-sharded
+    # path shards whole pairs (parallel/angle_shard.py). The per-angle
+    # arrays above stay authoritative for the unsharded CPU einsum twin;
+    # pairing substitutes prim_b by ±prim_a exactly (match tolerance
     # 1e-12 on values computed from the same float64 angle tuple — the
     # induced operator perturbation is ~1e-10 relative, far below the
     # Pallas-vs-twin test tolerance).

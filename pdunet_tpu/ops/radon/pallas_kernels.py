@@ -21,14 +21,15 @@ tests assert allclose in interpreter mode, and CPU runs use the twin.
 
 Two kernel families:
 
-* per-angle (``project_group_pallas``) — one grid step per angle; used by
-  the angle-sharded path (each shard owns an arbitrary angle subset).
+* per-angle (``project_group_pallas``) — one grid step per angle; used
+  whenever the plan's angle set doesn't pair (golden-angle backings).
 * mirror-pair (``project_pair_group_pallas``) — one grid step per angle
   PAIR θ ↔ π−θ (geometry.py pair_group): the stage-1 matmul — ~95% of
   projector FLOPs — runs once per pair and serves both members via
-  spectral conjugation, nearly halving MXU work on uniform scans. The
-  unsharded production path uses these whenever the plan's angle set
-  pairs (plan.meta["use_pairs"]).
+  spectral conjugation, nearly halving MXU work on uniform scans. Used
+  whenever plan.meta["use_pairs"], both unsharded and angle-sharded
+  (parallel/angle_shard.py shards the pair axis, so the sharing
+  survives sharding).
 """
 
 from __future__ import annotations

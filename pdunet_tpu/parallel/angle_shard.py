@@ -22,6 +22,13 @@ kernels on TPU, the einsum twin elsewhere — angle sharding costs no kernel
 quality. ``make_parallel_ops(geom, mesh=...)`` packages all of this as a
 drop-in differentiable operator bundle (the product path used by
 ``train.py --angle-devices``).
+
+Mirror-pair plans (geometry.py ``pair_group``) shard along the PAIR axis
+instead of the angle axis: each pair row is a self-contained unit (shared
+stage-1 position + both members' shear rows), so the stage-1-sharing
+speedup survives sharding — a contiguous split of raw angles would strand
+θ and π−θ on different chips and forfeit it. Same padding + inverse-perm
+reassembly, at half the stage-1 matmuls per shard.
 """
 
 from __future__ import annotations
@@ -36,7 +43,9 @@ from pdunet_tpu.geometry import ParallelPlan
 from pdunet_tpu.ops.radon.parallel import (
     _CDT,
     _backproject_group,
+    _backproject_pair_group,
     _project_group,
+    _project_pair_group,
     _resolve_impl,
 )
 
@@ -61,6 +70,21 @@ def _padded(arr: jnp.ndarray, n_shards: int) -> jnp.ndarray:
     )
 
 
+def _pair_padded(arr: jnp.ndarray, n_shards: int, fill: float = 0.0) -> jnp.ndarray:
+    """Pad the leading (pair) axis to a multiple of the shard count.
+
+    A padded pair's forward rows are sliced off after reassembly; its
+    adjoint contribution is zero because the matching sinogram rows are
+    zero-padded (member a) and the mask pads to 0 (member b). ``sgn`` pads
+    with 1.0 so padded rows stay on the well-defined +conj branch."""
+    pad = (-arr.shape[0]) % n_shards
+    if pad == 0:
+        return arr
+    return jnp.concatenate(
+        [arr, jnp.full((pad,) + arr.shape[1:], fill, arr.dtype)], axis=0
+    )
+
+
 def _group_fns(cdt, impl):
     """Per-shard group bodies honoring the impl switch (Pallas on TPU)."""
     if _resolve_impl(impl) == "pallas":
@@ -76,6 +100,77 @@ def _group_fns(cdt, impl):
         fwd = lambda f, *a: _project_group(f, *a, cdt=cdt)
         adj = lambda p, *a, N: _backproject_group(p, *a, cdt=cdt)
     return fwd, adj
+
+
+def _pair_group_fns(cdt, impl):
+    """Mirror-pair per-shard bodies honoring the impl switch."""
+    if _resolve_impl(impl) == "pallas":
+        from pdunet_tpu.ops.radon.pallas_kernels import (
+            backproject_pair_group_pallas,
+            project_pair_group_pallas,
+        )
+
+        bf16 = cdt == jnp.bfloat16
+        fwd = lambda f, *a: project_pair_group_pallas(f, *a, bf16=bf16)
+        adj = lambda p, *a, N: backproject_pair_group_pallas(p, *a, N, bf16=bf16)
+    else:
+        fwd = lambda f, *a: _project_pair_group(f, *a, cdt=cdt)
+        # the einsum twin infers N from the plan rows
+        adj = lambda p, *a, N: _backproject_pair_group(p, *a, cdt=cdt)
+    return fwd, adj
+
+
+def _project_pair_group_sharded(
+    f, pos, sha, shb, sgn, spec, Wc, Ws, L, contract_x, mesh, axis,
+    batch_axis=None, cdt=jnp.float32, impl=None,
+):
+    n_shards = mesh.shape[axis]
+    P_g = pos.shape[0]
+    pair_fwd, _ = _pair_group_fns(cdt, impl)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(batch_axis, None, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis), P(), P(), P()),
+        out_specs=P(batch_axis, axis, None),
+    )
+    def fwd(f, pos, sha, shb, sgn, spec, Wc, Ws):
+        return pair_fwd(f, pos, sha, shb, sgn, spec, Wc, Ws, L, contract_x)
+
+    out = fwd(f, _pair_padded(pos, n_shards), _pair_padded(sha, n_shards),
+              _pair_padded(shb, n_shards), _pair_padded(sgn, n_shards, 1.0),
+              spec, Wc, Ws)
+    return out[:, : 2 * P_g]
+
+
+def _backproject_pair_group_sharded(
+    p, pos, sha, shb, sgn, msk, spec, Wc, Ws, L, contract_x, mesh, axis,
+    batch_axis=None, cdt=jnp.float32, impl=None, N=None,
+):
+    n_shards = mesh.shape[axis]
+    _, pair_adj = _pair_group_fns(cdt, impl)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(batch_axis, axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis), P(axis), P(), P(), P()),
+        out_specs=P(batch_axis, None, None),
+    )
+    def adj(p, pos, sha, shb, sgn, msk, spec, Wc, Ws):
+        partial_img = pair_adj(
+            p, pos, sha, shb, sgn, msk, spec, Wc, Ws, L, contract_x, N=N)
+        return jax.lax.psum(partial_img, axis)
+
+    pad = 2 * ((-pos.shape[0]) % n_shards)
+    if pad:
+        p = jnp.concatenate(
+            [p, jnp.zeros(p.shape[:1] + (pad,) + p.shape[2:], p.dtype)], axis=1
+        )
+    return adj(p, _pair_padded(pos, n_shards), _pair_padded(sha, n_shards),
+               _pair_padded(shb, n_shards), _pair_padded(sgn, n_shards, 1.0),
+               _pair_padded(msk, n_shards), spec, Wc, Ws)
 
 
 def _project_group_sharded(
@@ -140,6 +235,22 @@ def angle_sharded_project(
     L = meta["S_ext"]
     cdt = _CDT[meta.get("compute_dtype", "float32")]
     f = image.astype(jnp.float32)
+    if meta.get("use_pairs"):
+        # shard the PAIR axis so the stage-1-sharing speedup survives
+        parts = []
+        if meta["P_x"]:
+            parts.append(_project_pair_group_sharded(
+                f, plan.pair_pos_x, plan.pair_sha_x, plan.pair_shb_x,
+                plan.pair_sgn_x, plan.spec, plan.Wc, plan.Ws,
+                L, True, mesh, axis, batch_axis, cdt, impl))
+        if meta["P_y"]:
+            parts.append(_project_pair_group_sharded(
+                f, plan.pair_pos_y, plan.pair_sha_y, plan.pair_shb_y,
+                plan.pair_sgn_y, plan.spec, plan.Wc, plan.Ws,
+                L, False, mesh, axis, batch_axis, cdt, impl))
+        p = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        p = jnp.take(p, jnp.asarray(meta["pair_inv_perm"]), axis=1)
+        return p.astype(image.dtype)
     parts = []
     if meta["A_x"]:
         parts.append(_project_group_sharded(
@@ -166,6 +277,22 @@ def angle_sharded_backproject(
     N, L = meta["N"], meta["S_ext"]
     cdt = _CDT[meta.get("compute_dtype", "float32")]
     p_in = sino.astype(jnp.float32)
+    if meta.get("use_pairs"):
+        f = None
+        if meta["P_x"]:
+            px = jnp.take(p_in, jnp.asarray(meta["pair_take_x"]), axis=1)
+            f = _backproject_pair_group_sharded(
+                px, plan.pair_pos_x, plan.pair_sha_x, plan.pair_shb_x,
+                plan.pair_sgn_x, plan.pair_msk_x, plan.spec, plan.Wc, plan.Ws,
+                L, True, mesh, axis, batch_axis, cdt, impl, N=N)
+        if meta["P_y"]:
+            py = jnp.take(p_in, jnp.asarray(meta["pair_take_y"]), axis=1)
+            fy = _backproject_pair_group_sharded(
+                py, plan.pair_pos_y, plan.pair_sha_y, plan.pair_shb_y,
+                plan.pair_sgn_y, plan.pair_msk_y, plan.spec, plan.Wc, plan.Ws,
+                L, False, mesh, axis, batch_axis, cdt, impl, N=N)
+            f = fy if f is None else f + fy
+        return f.astype(sino.dtype)
     f = None
     if meta["A_x"]:
         px = jnp.take(p_in, jnp.asarray(meta["idx_x"]), axis=1)

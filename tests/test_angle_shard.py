@@ -56,6 +56,13 @@ def full_plan():
     return build_parallel_plan(FULL_GEOM)
 
 
+def test_full_scan_uses_pair_sharding(full_plan):
+    """The full-scan fixtures must exercise the mirror-pair sharded path
+    (pairs shard as units so the stage-1 sharing survives sharding)."""
+    assert full_plan.meta["use_pairs"]
+    assert full_plan.meta["P_x"] + full_plan.meta["P_y"] < 40
+
+
 def test_sharded_forward_full_scan(full_plan, mesh, rng):
     f = jnp.asarray(rng.standard_normal((2, 32, 32)), jnp.float32)
     ref = parallel_project(full_plan, f)
@@ -149,8 +156,10 @@ def test_angle_sharded_ops_bundle_matches(full_plan, mesh2d, rng):
     sino = ops.A(f)
     np.testing.assert_allclose(
         np.asarray(ops_sh.A(f)), np.asarray(sino), atol=1e-4)
+    # adjoint output is ~50 in magnitude (40-angle accumulation): the
+    # pair-sharded stage-1 sums in a different order, rel ~2e-6
     np.testing.assert_allclose(
-        np.asarray(ops_sh.At(sino)), np.asarray(ops.At(sino)), atol=1e-4)
+        np.asarray(ops_sh.At(sino)), np.asarray(ops.At(sino)), atol=5e-4)
     np.testing.assert_allclose(
         np.asarray(ops_sh.fbp(sino)), np.asarray(ops.fbp(sino)), atol=1e-4)
     # gradient through the sharded A == unsharded (custom_vjp → At)
@@ -230,8 +239,10 @@ def test_fan_angle_sharded_bundle_matches(mesh2d, rng):
     sino = ops.A(f)
     np.testing.assert_allclose(
         np.asarray(ops_sh.A(f)), np.asarray(sino), atol=1e-4)
+    # adjoint output is ~50 in magnitude (40-angle accumulation): the
+    # pair-sharded stage-1 sums in a different order, rel ~2e-6
     np.testing.assert_allclose(
-        np.asarray(ops_sh.At(sino)), np.asarray(ops.At(sino)), atol=1e-4)
+        np.asarray(ops_sh.At(sino)), np.asarray(ops.At(sino)), atol=5e-4)
     np.testing.assert_allclose(
         np.asarray(ops_sh.fbp(sino)), np.asarray(ops.fbp(sino)), atol=1e-4)
     g = jax.grad(lambda x: jnp.sum(ops_sh.A(x) ** 2))(f)
