@@ -49,21 +49,66 @@ __all__ = [
 ]
 
 
+def _doubling_trig_rows(th0, dth, N):
+    """(cos, sin) of θ(j, k) = th0(k) + j·dth(k) for j = 0..N−1, built from
+    the (1, K) seed rows by log2(N) block-doubling complex multiplies
+    (e^{i(a+b)} = e^{ia}·e^{ib}): rows [n, 2n) are rows [0, n) rotated by
+    the current block rotor e^{i·n·dth}, which is then squared.
+
+    Replaces N·K transcendental evaluations by ~6·N·K mul-adds — the trig
+    was the VPU bottleneck of the fused kernels (scripts/trig_proto.py
+    measured the fwd pair kernel at 2.01× with free trig; this scheme
+    recovers 1.80× on-chip). Phase drift is ~N·eps_f32 from the rotor
+    squarings plus the f32 seed rounding — below bf16 resolution, so it is
+    only used on the bf16 path (f32 keeps exact trig and its 1e-5 twin
+    tolerance). Forward and adjoint kernels generate identical tensors, so
+    the exact-transpose adjoint property is unaffected."""
+    c, s = jnp.cos(th0), jnp.sin(th0)
+    rc, rs = jnp.cos(dth), jnp.sin(dth)
+    n = 1
+    while n < N:
+        c2 = c * rc - s * rs
+        s2 = c * rs + s * rc
+        c = jnp.concatenate([c, c2], axis=0)
+        s = jnp.concatenate([s, s2], axis=0)
+        rc, rs = rc * rc - rs * rs, 2.0 * rc * rs
+        n *= 2
+    return c[:N], s[:N]
+
+
+def _row_trig(row_ref, a, N, K, L, fast):
+    """(cos, sin) of row[a, j]·k·2π/L as (N, K) f32 tensors.
+
+    The plan rows are exactly affine in j (geometry.py group_arrays: pixel
+    centers scaled by a direction cosine), so on the fast path the row is
+    summarized by its first element and first difference and the trig
+    tensor is rebuilt by :func:`_doubling_trig_rows`."""
+    row = row_ref[pl.ds(a, 1), :]                        # (1, N)
+    if fast and N > 1:
+        k = (2.0 * math.pi / L) * lax.broadcasted_iota(
+            jnp.int32, (1, K), 1).astype(jnp.float32)
+        th0 = row[:, 0:1] * k
+        dth = (row[:, 1:2] - row[:, 0:1]) * k
+        return _doubling_trig_rows(th0, dth, N)
+    k = (2.0 * math.pi / L) * lax.broadcasted_iota(
+        jnp.int32, (N, K), 1).astype(jnp.float32)
+    ang = row.reshape(N, 1) * k
+    return jnp.cos(ang), jnp.sin(ang)
+
+
 def _angle_tensors(pos_ref, shift_ref, spec_ref, a, N, K, L, cdt):
     """Generate this angle's T̂ (cos/sin) and shear phase (cos/sin) in VMEM.
 
-    Trig runs in f32 (large arguments); results cast to ``cdt`` so the
-    matmuls run in one MXU pass under bf16."""
-    # Mosaic requires integer iota; convert after.
-    k = (2.0 * math.pi / L) * lax.broadcasted_iota(jnp.int32, (N, K), 1).astype(jnp.float32)
-    pos = pos_ref[pl.ds(a, 1), :].reshape(N, 1)
-    ang_t = pos * k
+    Phase math runs in f32; results cast to ``cdt`` so the matmuls run in
+    one MXU pass under bf16. Under bf16 the trig itself is replaced by the
+    block-doubling recurrence (see :func:`_doubling_trig_rows`)."""
+    fast = cdt == jnp.bfloat16
+    ct, st = _row_trig(pos_ref, a, N, K, L, fast)
     spec = spec_ref[0, :][None, :]
-    tc = (spec * jnp.cos(ang_t)).astype(cdt)            # (N, K)
-    ts = (-spec * jnp.sin(ang_t)).astype(cdt)
-    shift = shift_ref[pl.ds(a, 1), :].reshape(N, 1)
-    ang_p = shift * k
-    return tc, ts, jnp.cos(ang_p).astype(cdt), jnp.sin(ang_p).astype(cdt)
+    tc = (spec * ct).astype(cdt)                         # (N, K)
+    ts = (-spec * st).astype(cdt)
+    pc, ps = _row_trig(shift_ref, a, N, K, L, fast)
+    return tc, ts, pc.astype(cdt), ps.astype(cdt)
 
 
 def _fwd_kernel(pos_ref, shift_ref, spec_ref, wc_ref, ws_ref, f_ref, out_ref,
@@ -123,17 +168,16 @@ def _pair_tensors(pos_ref, sha_ref, shb_ref, spec_ref, a, N, K, L, cdt):
     """Mirror-pair variant of :func:`_angle_tensors`: one shared splat T̂
     per pair plus both members' shear phases (geometry.py pair_group —
     member b's conjugation constant is folded into its shift row)."""
-    k = (2.0 * math.pi / L) * lax.broadcasted_iota(jnp.int32, (N, K), 1).astype(jnp.float32)
-    pos = pos_ref[pl.ds(a, 1), :].reshape(N, 1)
-    ang_t = pos * k
+    fast = cdt == jnp.bfloat16
+    ct, st = _row_trig(pos_ref, a, N, K, L, fast)
     spec = spec_ref[0, :][None, :]
-    tc = (spec * jnp.cos(ang_t)).astype(cdt)            # (N, K)
-    ts = (-spec * jnp.sin(ang_t)).astype(cdt)
-    ang_a = sha_ref[pl.ds(a, 1), :].reshape(N, 1) * k
-    ang_b = shb_ref[pl.ds(a, 1), :].reshape(N, 1) * k
+    tc = (spec * ct).astype(cdt)                         # (N, K)
+    ts = (-spec * st).astype(cdt)
+    ca, sa = _row_trig(sha_ref, a, N, K, L, fast)
+    cb, sb = _row_trig(shb_ref, a, N, K, L, fast)
     return (tc, ts,
-            jnp.cos(ang_a).astype(cdt), jnp.sin(ang_a).astype(cdt),
-            jnp.cos(ang_b).astype(cdt), jnp.sin(ang_b).astype(cdt))
+            ca.astype(cdt), sa.astype(cdt),
+            cb.astype(cdt), sb.astype(cdt))
 
 
 def _fwd_pair_kernel(pos_ref, sha_ref, shb_ref, sgn_ref, spec_ref, wc_ref,
