@@ -110,9 +110,13 @@ def time_train_steps(step, state, key, iters: int = 5) -> float:
     return max(time.perf_counter() - t0 - base, 1e-9) / iters
 
 
-def bench_preset_recon(name: str, batch_size: int) -> dict:
+def bench_preset_recon(name: str, batch_size: int, stem: int | None = None) -> dict:
     """End-to-end recon throughput of one shipped preset at its trained
-    config (dtype/stem/n_iters as shipped) — the SURVEY.md §6 matrix row."""
+    config (dtype/stem/n_iters as shipped) — the SURVEY.md §6 matrix row.
+
+    ``stem`` overrides the preset's space-to-depth stem (README's
+    speed/quality ladder: ``--preset-recon pdunet_parallel --stem 1``
+    measures the quality-first configuration)."""
     import dataclasses as dc
 
     import jax
@@ -124,6 +128,8 @@ def bench_preset_recon(name: str, batch_size: int) -> dict:
     config = dc.replace(
         config, train=dc.replace(config.train, batch_size=batch_size)
     )
+    if stem is not None:
+        config = dc.replace(config, model=dc.replace(config.model, stem=stem))
     task = build_task(config)
     key = jax.random.PRNGKey(0)
     params = task.init_params(key)
@@ -186,6 +192,12 @@ def main(argv=None):
                         "remat on (speed/memory frontier)")
     p.add_argument("--dtype", choices=["preset", "f32", "bf16"], default="preset",
                    help="network compute dtype (default: the preset's, bf16)")
+    p.add_argument("--preset-recon", metavar="NAME",
+                   help="bench ONE preset's end-to-end recon (a single "
+                        "--matrix row) and exit; combine with --batch/--stem")
+    p.add_argument("--stem", type=int, default=None,
+                   help="with --preset-recon: override the model's "
+                        "space-to-depth stem (README speed/quality ladder)")
     args = p.parse_args(argv)
     # --matrix / --train-scan are --all sub-modes; asking for either
     # implies --all rather than silently doing nothing
@@ -198,6 +210,12 @@ def main(argv=None):
     enable_compilation_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.preset_recon:
+        row = bench_preset_recon(args.preset_recon, args.batch,
+                                 stem=args.stem)
+        print(json.dumps(row))
+        return 0
 
     from pdunet_tpu.configs import get_preset
     from pdunet_tpu.training.tasks import build_task
