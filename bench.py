@@ -57,8 +57,17 @@ def timeit(fn, x0, iters=10):
         # cheap ops need enough device iterations that the ~25 ms scalar
         # pull latency (and its jitter) can't dominate the measurement
         if total - base >= 4.0 * base or iters >= 10000:
-            return max(total - base, 1e-9) / iters
+            break
         iters *= 8
+    # The axon tunnel adds run-to-run jitter (observed ±15% on identical
+    # builds). Repeat the calibrated loop and keep the fastest run: external
+    # interference only ever adds time, so min-of-repeats estimates the
+    # device's true steady-state cost.
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(loop(iters, x0))
+        total = min(total, time.perf_counter() - t0)
+    return max(total - base, 1e-9) / iters
 
 
 #: the batch each preset's end-to-end recon is benchmarked at (--all): large
@@ -105,9 +114,12 @@ def time_train_steps(step, state, key, iters: int = 5) -> float:
     t0 = time.perf_counter()
     float(loop(0, state))
     base = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(loop(iters, state))
-    return max(time.perf_counter() - t0 - base, 1e-9) / iters
+    total = float("inf")
+    for _ in range(3):  # min-of-repeats vs tunnel jitter (see timeit)
+        t0 = time.perf_counter()
+        float(loop(iters, state))
+        total = min(total, time.perf_counter() - t0)
+    return max(total - base, 1e-9) / iters
 
 
 def bench_preset_recon(name: str, batch_size: int, stem: int | None = None) -> dict:
