@@ -122,13 +122,20 @@ def time_train_steps(step, state, key, iters: int = 5) -> float:
     return max(total - base, 1e-9) / iters
 
 
-def bench_preset_recon(name: str, batch_size: int, stem: int | None = None) -> dict:
+def bench_preset_recon(
+    name: str,
+    batch_size: int,
+    stem: int | None = None,
+    image_size: int | None = None,
+    n_angles: int | None = None,
+) -> dict:
     """End-to-end recon throughput of one shipped preset at its trained
     config (dtype/stem/n_iters as shipped) — the SURVEY.md §6 matrix row.
 
     ``stem`` overrides the preset's space-to-depth stem (README's
     speed/quality ladder: ``--preset-recon pdunet_parallel --stem 1``
-    measures the quality-first configuration)."""
+    measures the quality-first configuration). ``image_size``/``n_angles``
+    override the geometry for the --scale-scan ladder."""
     import dataclasses as dc
 
     import jax
@@ -142,6 +149,15 @@ def bench_preset_recon(name: str, batch_size: int, stem: int | None = None) -> d
     )
     if stem is not None:
         config = dc.replace(config, model=dc.replace(config.model, stem=stem))
+    geom_over = {}
+    if image_size is not None:
+        geom_over["image_size"] = image_size
+    if n_angles is not None:
+        geom_over["n_angles"] = n_angles
+    if geom_over:
+        config = dc.replace(
+            config, geometry=dc.replace(config.geometry, **geom_over)
+        )
     task = build_task(config)
     key = jax.random.PRNGKey(0)
     params = task.init_params(key)
@@ -177,12 +193,21 @@ def bench_preset_recon(name: str, batch_size: int, stem: int | None = None) -> d
         return task.recon_fn(params, b)
 
     dt = timeit(recon_with_carry, carry0)
-    return {
+    row = {
         "preset": name,
         "batch": batch_size,
         "recon_slices_per_sec": round(batch_size / dt, 2),
         "sec_per_slice": round(dt / batch_size, 6),
     }
+    if geom_over:
+        g = config.geometry
+        row.update(image_size=g.image_size, n_angles=g.n_angles)
+        # voxel throughput normalizes across sizes: recon work scales
+        # ~O(n_angles·N·K) in the projector and O(N²) in the convs
+        row["mpixels_per_sec"] = round(
+            batch_size / dt * g.image_size * g.image_size / 1e6, 2
+        )
+    return row
 
 
 def main(argv=None):
@@ -204,6 +229,10 @@ def main(argv=None):
                         "remat on (speed/memory frontier)")
     p.add_argument("--dtype", choices=["preset", "f32", "bf16"], default="preset",
                    help="network compute dtype (default: the preset's, bf16)")
+    p.add_argument("--scale-scan", action="store_true",
+                   help="with --all: measure flagship recon throughput "
+                        "across image sizes / angle counts (SURVEY §5.7 "
+                        "scaling question)")
     p.add_argument("--preset-recon", metavar="NAME",
                    help="bench ONE preset's end-to-end recon (a single "
                         "--matrix row) and exit; combine with --batch/--stem")
@@ -211,9 +240,9 @@ def main(argv=None):
                    help="with --preset-recon: override the model's "
                         "space-to-depth stem (README speed/quality ladder)")
     args = p.parse_args(argv)
-    # --matrix / --train-scan are --all sub-modes; asking for either
-    # implies --all rather than silently doing nothing
-    args.all = args.all or args.matrix or args.train_scan
+    # --matrix / --train-scan / --scale-scan are --all sub-modes; asking
+    # for any implies --all rather than silently doing nothing
+    args.all = args.all or args.matrix or args.train_scan or args.scale_scan
 
     import jax
 
@@ -433,6 +462,26 @@ def main(argv=None):
                         {"batch": b, "remat": use_remat,
                          "error": type(e).__name__})
                     break
+
+        if args.scale_scan:
+            # SURVEY §5.7 scaling question: recon cost is O(n_angles·N·K)
+            # in the projector and O(N²·C) in the convs, so slices/s drops
+            # superlinearly with N while Mpixel/s should stay near-flat
+            # until a resource wall (VMEM tiling, HBM). Angles scale with N
+            # (Nyquist: π/2·N for full view; the ladder keeps the shipped
+            # 360-at-256² sparse-view ratio). Batch halves per octave to
+            # bound activation memory.
+            details["scale_scan"] = []
+            for size, n_ang, b in ((128, 180, 512), (256, 360, 256),
+                                   (384, 540, 128), (512, 720, 64)):
+                try:
+                    row = bench_preset_recon("pdunet_parallel", b,
+                                             image_size=size, n_angles=n_ang)
+                except Exception as e:
+                    row = {"image_size": size, "n_angles": n_ang, "batch": b,
+                           "error": f"{type(e).__name__}: {e}"}
+                details["scale_scan"].append(row)
+                print(json.dumps(row), file=sys.stderr)
 
         if args.matrix:
             # SURVEY.md §6: one end-to-end recon-throughput row per shipped
