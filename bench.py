@@ -22,8 +22,8 @@ import time
 TARGET_PER_CHIP = 125.0  # BASELINE.json:5: ≥1000/s on v5e-8
 
 
-def timeit(fn, x0, iters=10):
-    """Device-honest timing of ``fn`` (array → array).
+def timeit(fn, x0, iters=10, aux=()):
+    """Device-honest timing of ``fn`` (array[, *aux] → array).
 
     On the axon TPU backend ``jax.block_until_ready`` returns before remote
     execution finishes, so host-loop timing measures dispatch, not compute.
@@ -32,27 +32,33 @@ def timeit(fn, x0, iters=10):
     dependency XLA cannot DCE), closed by a 4-byte scalar pull that forces
     completion. The loop bound is a traced scalar so the 0-iteration
     baseline (pull latency) shares the executable and subtracts cleanly.
+
+    ``aux`` arrays are loop-invariant extra inputs to ``fn`` passed as jit
+    ARGUMENTS rather than closure constants: closure constants get embedded
+    as HLO literals, which both requires a host readback (UNIMPLEMENTED for
+    complex64 on axon) and counts against the remote-compile HTTP body cap
+    (observed 413 at a few hundred MB — large-batch radial k-space hits it).
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    def body(_, x):
-        out = fn(x)
-        dep = jnp.real(jnp.ravel(out)[0]).astype(jnp.float32) * 1e-30
-        return x * (1.0 + dep.astype(x.dtype))
-
     @jax.jit
-    def loop(n, x):
+    def loop(n, x, *aux):
+        def body(_, x):
+            out = fn(x, *aux)
+            dep = jnp.real(jnp.ravel(out)[0]).astype(jnp.float32) * 1e-30
+            return x * (1.0 + dep.astype(x.dtype))
+
         return jnp.real(jnp.ravel(lax.fori_loop(0, n, body, x))[0])
 
-    float(loop(iters, x0))  # compile + warm
+    float(loop(iters, x0, *aux))  # compile + warm
     t0 = time.perf_counter()
-    float(loop(0, x0))
+    float(loop(0, x0, *aux))
     base = time.perf_counter() - t0
     while True:
         t0 = time.perf_counter()
-        float(loop(iters, x0))
+        float(loop(iters, x0, *aux))
         total = time.perf_counter() - t0
         # cheap ops need enough device iterations that the ~25 ms scalar
         # pull latency (and its jitter) can't dominate the measurement
@@ -65,7 +71,7 @@ def timeit(fn, x0, iters=10):
     # device's true steady-state cost.
     for _ in range(2):
         t0 = time.perf_counter()
-        float(loop(iters, x0))
+        float(loop(iters, x0, *aux))
         total = min(total, time.perf_counter() - t0)
     return max(total - base, 1e-9) / iters
 
@@ -80,11 +86,13 @@ MATRIX_BATCH = {
     "sino_unet_parallel": 128,
     "lpd_parallel": 256,
     "pdunet_fan": 128,
-    "pdunet_radial": 64,
-    # the spoke-upsampling batch synthesizes the DENSE 512-spoke k-space
-    # (extended backing grid, S_ext≈729): at batch 64 the stacked (Re, Im)
-    # stage-1 Pallas block exceeds the 16 MB scoped-VMEM limit
-    "sino_unet_radial": 32,
+    # radial batches were capped at 64/32 while the whole batch entered the
+    # timing loop as HLO closure constants (remote-compile 413 at a few
+    # hundred MB of embedded k-space); with batch leaves as jit arguments
+    # the saturating batches are measurable: 128 buys pdunet_radial ~6%
+    # over 64, sino_unet_radial is flat past 64
+    "pdunet_radial": 128,
+    "sino_unet_radial": 64,
 }
 
 #: which batch entry each model kind's recon_fn re-consumes as the timing
@@ -167,32 +175,21 @@ def bench_preset_recon(
     else:
         carry_key = _CARRY_KEY[config.model.kind]
 
-    import jax.numpy as jnp
-
-    # Complex leaves (radial MRI: f0/sino/image_c are complex64) cannot be
-    # jit closure constants on axon — HLO embedding reads the constant back
-    # to the host and complex64 readback is UNIMPLEMENTED (utils/device.py
-    # quirk list). Close over (re, im) real pairs and rebuild with
-    # lax.complex inside the traced fn; the carry enters as a jit ARGUMENT
-    # (device-resident, never read back), so it may stay complex.
+    # Every batch leaf enters the timing loop as a jit ARGUMENT
+    # (device-resident, never read back) — complex64 leaves are fine there,
+    # and nothing batch-sized gets embedded as an HLO literal, so large
+    # batches stay under the remote-compile request cap (timeit docstring).
+    # Only the (small, compute-produced) params remain closure constants.
     carry0 = batch.pop(carry_key)
-    real_consts, cplx_keys = {}, []
-    for k, v in batch.items():
-        if jnp.iscomplexobj(v):
-            real_consts[k] = (jnp.real(v), jnp.imag(v))
-            cplx_keys.append(k)
-        else:
-            real_consts[k] = v
+    aux_keys = sorted(batch.keys())
+    aux = tuple(batch[k] for k in aux_keys)
 
-    def recon_with_carry(x):
-        b = {
-            k: (jax.lax.complex(*v) if k in cplx_keys else v)
-            for k, v in real_consts.items()
-        }
+    def recon_with_carry(x, *aux_vals):
+        b = dict(zip(aux_keys, aux_vals))
         b[carry_key] = x
         return task.recon_fn(params, b)
 
-    dt = timeit(recon_with_carry, carry0)
+    dt = timeit(recon_with_carry, carry0, aux=aux)
     row = {
         "preset": name,
         "batch": batch_size,

@@ -93,11 +93,16 @@ def sino_unet_radial() -> ExperimentConfig:
         name="sino_unet_radial",
         # spoke-domain upsampling (the paper's sinogram-upsampling method
         # applied to its radial-MRI modality): complex golden-angle spokes,
-        # UNet on the (spoke x sample, Re/Im) grid. stem=1 for the same
-        # reason as sino_unet_parallel: the per-spoke-row signal must not
-        # be patch-mixed.
+        # UNet on the (spoke x sample, Re/Im) grid. stem=2 after a measured
+        # A/B: patch-mixing spokes was feared to hurt (see
+        # sino_unet_parallel) but costs only 0.7 dB here (47.21/0.9696
+        # stem=1 at 34k steps vs 46.54/0.9603 stem=2 at 20k, 64 test
+        # slices) while the 512x512 UNet — 65% of recon time — runs at a
+        # quarter of the pixels: 195 -> 258 slices/s/chip. Both configs
+        # sit above the task's dense-spoke DCF-adjoint ceiling (~46.1 dB),
+        # so the throughput-optimized shipped config takes the speed.
         geometry=GeometryConfig(kind="radial", image_size=256, n_angles=512, sparsity=4),
-        model=ModelConfig(kind="sino_unet", base_features=64, depth=4, stem=1,
+        model=ModelConfig(kind="sino_unet", base_features=64, depth=4, stem=2,
                           use_bfloat16=True),
         # grad_clip: the 14k-step cosine keeps LR high long enough that a
         # single gradient spike can strand Adam (observed: val -1.4 dB at
