@@ -90,7 +90,9 @@ MATRIX_BATCH = {
     # timing loop as HLO closure constants (remote-compile 413 at a few
     # hundred MB of embedded k-space); with batch leaves as jit arguments
     # the saturating batches are measurable: 128 buys pdunet_radial ~6%
-    # over 64, sino_unet_radial is flat past 64
+    # over 64, sino_unet_radial is flat past 64. The CT rows are already
+    # saturated (measured on-chip: fan 1041 at 256 vs 1090 at 128; lpd 808
+    # at 512 vs 822 at 256).
     "pdunet_radial": 128,
     "sino_unet_radial": 64,
 }
