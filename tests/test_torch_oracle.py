@@ -34,8 +34,11 @@ GEOM = ParallelGeometry(image_size=N, n_angles=90, det_count=N)
 
 
 def rel_l2(a, b):
-    a = np.asarray(a, np.float64)
-    b = np.asarray(b, np.float64)
+    # keep complex inputs complex: casting to float64 would silently drop
+    # the imaginary part and the radial legs would compare only Re(·)
+    dt = np.complex128 if (np.iscomplexobj(a) or np.iscomplexobj(b)) else np.float64
+    a = np.asarray(a).astype(dt)
+    b = np.asarray(b).astype(dt)
     return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12))
 
 
