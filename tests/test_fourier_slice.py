@@ -33,16 +33,19 @@ def image():
 
 
 def test_matches_direct_dft(plan, image):
+    # the spectral path is exact to float rounding (no footprint, no
+    # deapodization, no grid aliasing) — measured ~4e-7 on this fixture
     ours = fs_nufft_forward(plan, jnp.asarray(image))
     oracle = direct_dft(GEOM, image)
-    assert rel_l2(ours, oracle) < 5e-3
+    assert rel_l2(ours, oracle) < 1e-5
 
 
 def test_matches_gridding_impl(plan, image):
     fs = fs_nufft_forward(plan, jnp.asarray(image))
     grid_ops = make_radial_ops(GEOM, impl="gridding")
     gr = grid_ops.A(jnp.asarray(image))
-    assert rel_l2(fs, gr) < 5e-3
+    # bound set by the gridding oracle's own KB aliasing floor, not by fs
+    assert rel_l2(fs, gr) < 2e-3
 
 
 def test_adjoint_dot_product(plan):
