@@ -75,6 +75,10 @@ class TrainConfig:
     # data
     n_ellipses: int = 8
     photons_per_ray: float = 0.0    # >0 → low-dose Poisson noise on sinograms
+    # >0 → complex Gaussian k-space measurement noise at this SNR (dB,
+    # power ratio vs the measured spokes' RMS) for the radial MRI tasks —
+    # the MRI analogue of photons_per_ray (SURVEY.md §2b C4)
+    kspace_snr_db: float = 0.0
     # parallelism
     data_axis: str = "data"         # mesh axis for batch sharding
 

@@ -21,6 +21,7 @@ __all__ = [
     "interp_upsample_spokes",
     "reverse_spoke_samples",
     "lowdose_poisson_noise",
+    "kspace_gaussian_noise",
     "mu_to_hu",
     "hu_to_mu",
     "normalize_ct_window",
@@ -97,6 +98,32 @@ def lowdose_poisson_noise(
     noise = jax.random.normal(key, sino.shape) * jnp.sqrt(i_expected)
     i_noisy = jnp.maximum(i_expected + noise, 1.0)
     return -jnp.log(i_noisy / photons_per_ray)
+
+
+def kspace_gaussian_noise(
+    key: jax.Array, kspace: jnp.ndarray, snr_db: float
+) -> jnp.ndarray:
+    """Complex Gaussian measurement noise for MRI k-space (SURVEY.md §2b C4:
+    "MRI: magnitude/complex" — the standard radial-MRI analogue of the CT
+    transmission noise in :func:`lowdose_poisson_noise`).
+
+    Thermal receiver noise in MRI is i.i.d. circularly-symmetric complex
+    Gaussian, identical on every k-space sample regardless of trajectory.
+    ``snr_db`` parameterizes it relative to the *measured data's* RMS,
+    per slice: E|n|² = RMS(|g|)² · 10^(−snr_db/10), so SNR is a power
+    ratio over the sampled spokes. ``snr_db <= 0`` disables the noise
+    (the noiseless default of every config; TrainConfig.kspace_snr_db).
+
+    kspace: (..., A, S) complex, last two dims = (spokes, readout).
+    """
+    if snr_db <= 0:
+        return kspace
+    power = jnp.mean(jnp.abs(kspace) ** 2, axis=(-2, -1), keepdims=True)
+    sigma = jnp.sqrt(power) * (10.0 ** (-snr_db / 20.0))
+    # complex64 normal: unit total variance (0.5 per component), so sigma
+    # scales the complex magnitude directly
+    noise = jax.random.normal(key, kspace.shape, dtype=kspace.dtype)
+    return kspace + sigma.astype(kspace.dtype) * noise
 
 
 def mu_to_hu(mu: jnp.ndarray, mu_water: float = MU_WATER) -> jnp.ndarray:

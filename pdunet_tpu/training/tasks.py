@@ -23,6 +23,7 @@ from pdunet_tpu.configs import ExperimentConfig, GeometryConfig
 from pdunet_tpu.data.pipeline import (
     MU_WATER,
     interp_upsample_angles,
+    kspace_gaussian_noise,
     lowdose_poisson_noise,
     subsample_angles,
 )
@@ -294,13 +295,16 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                     + coeffs[:, 2, None, None] * X * Y
                     + coeffs[:, 3, None, None] * (X**2 - Y**2))
 
-        def _batch_from_complex(img_c):
+        def _batch_from_complex(img_c, key=None):
             g_dense = ops_synth_dense.A(img_c)
             # golden-angle subsample keeps the spoke-sequence prefix, so
             # the sparse measurement is literally the first A_s spokes
-            g_in = interp_upsample_spokes(
-                g_dense[..., :A_s, :], sparse_angles, dense_angles
-            )
+            g_meas = g_dense[..., :A_s, :]
+            if key is not None:
+                # measurement noise hits only what the scanner acquired;
+                # the dense target k_dense_w stays the clean ground truth
+                g_meas = kspace_gaussian_noise(key, g_meas, tc.kspace_snr_db)
+            g_in = interp_upsample_spokes(g_meas, sparse_angles, dense_angles)
             return {
                 "image": jnp.abs(img_c),
                 # carried so eval paths can reconstruct the *phased* ground
@@ -313,13 +317,15 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
             }
 
         def make_batch(key):
-            k1, k2 = jax.random.split(key)
+            k1, k2, k3 = jax.random.split(key, 3)
             mag = random_phantom_batch(
                 k1, B, N, n_ellipses=tc.n_ellipses,
                 pixel_spacing=gc.pixel_spacing, nonneg=True,
             )
             img_c = mag.astype(jnp.complex64) * jnp.exp(1j * _phase_field(k2))
-            return _batch_from_complex(img_c)
+            return _batch_from_complex(
+                img_c, k3 if tc.kspace_snr_db > 0 else None
+            )
 
         def init_params(key):
             A_d, S = ops_dense.sino_shape
@@ -362,7 +368,6 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
             return total, aux
 
         def batch_from_images(img, key=None):
-            del key  # no measurement-noise model for the MRI tasks
             if isinstance(img, (tuple, list)):
                 img_c = jax.lax.complex(
                     jnp.asarray(img[0], jnp.float32),
@@ -370,7 +375,9 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                 )
             else:
                 img_c = img.astype(jnp.complex64)
-            return _batch_from_complex(img_c)
+            if tc.kspace_snr_db <= 0:
+                key = None  # noiseless task: --corrupt has nothing to add
+            return _batch_from_complex(img_c, key)
 
         return _finalize(config.name, model, init_params, make_batch, loss_fn,
                          recon_fn, config, N, batch_from_images)
@@ -487,7 +494,7 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
             # an unlucky all-negative draw would clamp to a zero image whose
             # peak-normalized PSNR is -inf.
             def make_batch(key):
-                k1, k2 = jax.random.split(key)
+                k1, k2, k3 = jax.random.split(key, 3)
                 mag = random_phantom_batch(
                     k1, B, N, n_ellipses=tc.n_ellipses,
                     pixel_spacing=gc.pixel_spacing, nonneg=True,
@@ -505,6 +512,8 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                 )
                 img_c = mag.astype(jnp.complex64) * jnp.exp(1j * phase)
                 g = ops_synth_sparse.A(img_c)
+                if tc.kspace_snr_db > 0:
+                    g = kspace_gaussian_noise(k3, g, tc.kspace_snr_db)
                 f0 = ops_synth_sparse.fbp(g)
                 return {"image": mag, "image_c": img_c, "sino": g, "f0": f0}
 
@@ -541,6 +550,8 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                 else:
                     img_c = img.astype(jnp.complex64)
                 g = ops_synth_sparse.A(img_c)
+                if key is not None and tc.kspace_snr_db > 0:
+                    g = kspace_gaussian_noise(key, g, tc.kspace_snr_db)
                 return {"image": jnp.abs(img_c), "image_c": img_c,
                         "sino": g, "f0": ops_synth_sparse.fbp(g)}
 

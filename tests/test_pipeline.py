@@ -1,9 +1,14 @@
 """Undersampling/upsampling transforms (SURVEY.md §2b C4)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pdunet_tpu.data.pipeline import interp_upsample_angles, subsample_angles
+from pdunet_tpu.data.pipeline import (
+    interp_upsample_angles,
+    kspace_gaussian_noise,
+    subsample_angles,
+)
 
 
 def _dense_sino(n_angles, n_det, coverage=1.0):
@@ -48,3 +53,36 @@ def test_interp_limited_angle_clamps_not_wraps():
     err_clamp = float(jnp.abs(up - dense).max())
     err_wrap = float(jnp.abs(wrong - dense).max())
     assert err_clamp < err_wrap
+
+
+def test_kspace_noise_snr_and_disable():
+    """The injected complex noise realizes the requested power SNR, is
+    circularly symmetric, and snr_db<=0 is the exact noiseless identity."""
+    key = jax.random.PRNGKey(7)
+    # big enough that the empirical SNR concentrates (~1% rel error at 64k)
+    g = (jnp.ones((4, 128, 128)) * (1.0 + 0.5j)).astype(jnp.complex64)
+    for snr_db in (20.0, 40.0):
+        noisy = kspace_gaussian_noise(key, g, snr_db)
+        n = noisy - g
+        sig_p = float(jnp.mean(jnp.abs(g) ** 2))
+        noise_p = float(jnp.mean(jnp.abs(n) ** 2))
+        got_db = 10.0 * np.log10(sig_p / noise_p)
+        assert abs(got_db - snr_db) < 0.2, f"SNR {got_db:.2f} vs {snr_db}"
+        # circular symmetry: Re/Im powers match to a few percent
+        re_p = float(jnp.mean(jnp.real(n) ** 2))
+        im_p = float(jnp.mean(jnp.imag(n) ** 2))
+        assert abs(re_p - im_p) / (re_p + im_p) < 0.05
+    assert (kspace_gaussian_noise(key, g, 0.0) == g).all()
+    assert (kspace_gaussian_noise(key, g, -5.0) == g).all()
+
+
+def test_kspace_noise_per_slice_normalization():
+    """SNR is defined per slice: a slice with 10× amplitude gets 10× noise."""
+    key = jax.random.PRNGKey(3)
+    base = jax.random.normal(key, (1, 64, 64), dtype=jnp.complex64)
+    g = jnp.concatenate([base, 10.0 * base], axis=0)
+    n = kspace_gaussian_noise(jax.random.PRNGKey(11), g, 30.0) - g
+    p0 = float(jnp.mean(jnp.abs(n[0]) ** 2))
+    p1 = float(jnp.mean(jnp.abs(n[1]) ** 2))
+    ratio = p1 / p0
+    assert 80.0 < ratio < 125.0, f"noise power ratio {ratio}"

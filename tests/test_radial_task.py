@@ -122,3 +122,80 @@ def test_spoke_upsampling_task_beats_interp_baseline():
     psnr_trained = float(jnp.mean(psnr(task.recon_fn(params, batch),
                                        batch["image"])))
     assert psnr_trained > psnr_base + 1.5, (psnr_trained, psnr_base)
+
+
+def _tiny_radial(preset, snr_db):
+    config = get_preset(preset)
+    return dataclasses.replace(
+        config,
+        geometry=dataclasses.replace(
+            config.geometry, image_size=32, n_angles=48, samples_per_spoke=64,
+        ),
+        model=dataclasses.replace(
+            config.model, base_features=8, depth=1, use_bfloat16=False,
+            **({"n_iters": 2} if config.model.kind == "pdunet" else {}),
+        ),
+        train=dataclasses.replace(
+            config.train, batch_size=2, n_ellipses=3, kspace_snr_db=snr_db
+        ),
+    )
+
+
+def test_kspace_noise_wiring_pdunet_radial():
+    """kspace_snr_db>0 must perturb the measured spokes (and f0) in both
+    make_batch and the keyed batch_from_images path, leave the ground
+    truth clean, and stay a strict no-op when disabled (SURVEY C4; the
+    MRI analogue of --corrupt)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdunet_tpu.training.tasks import build_task
+
+    task = build_task(_tiny_radial("pdunet_radial", 30.0))
+    key = jax.random.PRNGKey(0)
+    batch = task.make_batch(key)
+    img = (jnp.real(batch["image_c"]), jnp.imag(batch["image_c"]))
+    clean = task.batch_from_images(img)
+    noisy = task.batch_from_images(img, jax.random.PRNGKey(5))
+    # ground truth untouched; measurement + f0 perturbed at ~30 dB
+    assert jnp.allclose(clean["image"], noisy["image"])
+    rel = float(
+        jnp.linalg.norm(noisy["sino"] - clean["sino"])
+        / jnp.linalg.norm(clean["sino"])
+    )
+    assert 0.02 < rel < 0.06, rel  # 30 dB ⇒ amplitude ratio ~0.032
+    assert not jnp.allclose(noisy["f0"], clean["f0"])
+    # make_batch applies the same corruption (training sees noise)
+    resynth = task.batch_from_images(
+        (jnp.real(batch["image_c"]), jnp.imag(batch["image_c"]))
+    )
+    assert not jnp.allclose(batch["sino"], resynth["sino"])
+
+    # disabled task: keyed call is exactly the clean synthesis
+    task0 = build_task(_tiny_radial("pdunet_radial", 0.0))
+    c0 = task0.batch_from_images(img)
+    n0 = task0.batch_from_images(img, jax.random.PRNGKey(5))
+    assert (c0["sino"] == n0["sino"]).all()
+
+
+def test_kspace_noise_wiring_sino_unet_radial():
+    """Spoke-upsampling task: noise lands on the measured (acquired) spokes
+    of the network input while the dense training target stays clean."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdunet_tpu.training.tasks import build_task
+
+    task = build_task(_tiny_radial("sino_unet_radial", 30.0))
+    key = jax.random.PRNGKey(0)
+    batch = task.make_batch(key)
+    img = (jnp.real(batch["image_c"]), jnp.imag(batch["image_c"]))
+    clean = task.batch_from_images(img)
+    noisy = task.batch_from_images(img, jax.random.PRNGKey(5))
+    assert jnp.allclose(clean["image"], noisy["image"])
+    # the clean dense target is identical with and without measurement noise
+    assert jnp.allclose(clean["k_dense_w"], noisy["k_dense_w"])
+    assert not jnp.allclose(clean["k_in_w"], noisy["k_in_w"])
+    # training batches carry the corruption too (make_batch keyed it)
+    assert not jnp.allclose(batch["k_in_w"], clean["k_in_w"])
+    assert jnp.allclose(batch["k_dense_w"], clean["k_dense_w"], atol=1e-6)
