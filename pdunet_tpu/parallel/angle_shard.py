@@ -130,6 +130,13 @@ def _project_pair_group_sharded(
 
     @functools.partial(
         jax.shard_map,
+        # check_vma=False: the static varying-mesh-axes checker cannot
+        # annotate pallas_call out_shapes (ShapeDtypeStruct.vma is None ->
+        # trace-time error on TPU), and these bodies manage their own
+        # collectives (explicit psum in the adjoints, none in forward),
+        # so the check adds nothing. Proven on-chip by
+        # scripts/tpu_pallas_check.py's shard_map_pallas artifact entry.
+        check_vma=False,
         mesh=mesh,
         in_specs=(P(batch_axis, None, None), P(axis, None), P(axis, None),
                   P(axis, None), P(axis), P(), P(), P()),
@@ -153,6 +160,13 @@ def _backproject_pair_group_sharded(
 
     @functools.partial(
         jax.shard_map,
+        # check_vma=False: the static varying-mesh-axes checker cannot
+        # annotate pallas_call out_shapes (ShapeDtypeStruct.vma is None ->
+        # trace-time error on TPU), and these bodies manage their own
+        # collectives (explicit psum in the adjoints, none in forward),
+        # so the check adds nothing. Proven on-chip by
+        # scripts/tpu_pallas_check.py's shard_map_pallas artifact entry.
+        check_vma=False,
         mesh=mesh,
         in_specs=(P(batch_axis, axis, None), P(axis, None), P(axis, None),
                   P(axis, None), P(axis), P(axis), P(), P(), P()),
@@ -183,6 +197,13 @@ def _project_group_sharded(
 
     @functools.partial(
         jax.shard_map,
+        # check_vma=False: the static varying-mesh-axes checker cannot
+        # annotate pallas_call out_shapes (ShapeDtypeStruct.vma is None ->
+        # trace-time error on TPU), and these bodies manage their own
+        # collectives (explicit psum in the adjoints, none in forward),
+        # so the check adds nothing. Proven on-chip by
+        # scripts/tpu_pallas_check.py's shard_map_pallas artifact entry.
+        check_vma=False,
         mesh=mesh,
         in_specs=(P(batch_axis, None, None), P(axis, None), P(axis, None),
                   P(), P(), P()),
@@ -204,6 +225,13 @@ def _backproject_group_sharded(
 
     @functools.partial(
         jax.shard_map,
+        # check_vma=False: the static varying-mesh-axes checker cannot
+        # annotate pallas_call out_shapes (ShapeDtypeStruct.vma is None ->
+        # trace-time error on TPU), and these bodies manage their own
+        # collectives (explicit psum in the adjoints, none in forward),
+        # so the check adds nothing. Proven on-chip by
+        # scripts/tpu_pallas_check.py's shard_map_pallas artifact entry.
+        check_vma=False,
         mesh=mesh,
         in_specs=(P(batch_axis, axis, None), P(axis, None), P(axis, None),
                   P(), P(), P()),
@@ -322,6 +350,13 @@ def angle_sharded_fbp(
 
     from pdunet_tpu.ops.radon.filtering import filter_sinogram
 
+    if plan.meta.get("spectral_selection"):
+        raise ValueError(
+            "angle_sharded_fbp got a spectral (fourier_slice) plan: its "
+            "'detector' axis is [Re|Im] Fourier halves backed by a synthetic "
+            "geometry, so ramp filtering / bp_scale would be nonsense. Use "
+            "make_radial_ops(mesh=...).fbp for the radial DCF-adjoint recon."
+        )
     geom = plan.geom
     bp_scale = (
         math.pi / len(geom.angles) * geom.det_spacing / (geom.pixel_spacing ** 2)
