@@ -102,9 +102,14 @@ def sino_unet_radial() -> ExperimentConfig:
         # sino_unet_parallel) but costs only 0.7 dB here (47.21/0.9696
         # stem=1 at 34k steps vs 46.54/0.9603 stem=2 at 20k, 64 test
         # slices) while the 512x512 UNet — 65% of recon time — runs at a
-        # quarter of the pixels: 195 -> 258 slices/s/chip. Both configs
-        # sit above the task's dense-spoke DCF-adjoint ceiling (~46.1 dB),
-        # so the throughput-optimized shipped config takes the speed.
+        # quarter of the pixels: 195 -> 258 slices/s/chip. Ceiling honesty:
+        # against the *shipped* dense-spoke recon operator (Pipe-Menon DCF
+        # adjoint, measured dense-data ceiling ~49.3 dB — README), stem-1
+        # is 2.1 dB below and stem-2 2.8 dB below, i.e. NOT saturated;
+        # only the older Voronoi-DCF ceiling (~46.1 dB) is exceeded.
+        # stem-2 also had the shorter budget (20k vs 34k steps), so the
+        # throughput-optimized shipped config trades known headroom for
+        # speed.
         geometry=GeometryConfig(kind="radial", image_size=256, n_angles=512, sparsity=4),
         model=ModelConfig(kind="sino_unet", base_features=64, depth=4, stem=2,
                           use_bfloat16=True),

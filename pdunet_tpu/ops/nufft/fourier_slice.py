@@ -123,9 +123,11 @@ def build_fs_plan(geom: RadialGeometry, dtype=jnp.float32) -> FsPlan:
             return z, z
         prim = cos_t[idx] if primary_cos else sin_t[idx]
         seco = sin_t[idx] if primary_cos else cos_t[idx]
-        # phases e^{−2πik(pos − shift)/L}·δs⁻¹-scaled: composite position
+        # phases e^{−2πik(pos − shift)/L}: composite position
         # (prim·x + seco·y)/δp with no grid offsets — the plan never touches
-        # a detector window, so no centering or wrap extension exists.
+        # a detector window, so no centering or wrap extension exists, and
+        # (spec all-ones) the composite exponent is exactly the unscaled DFT
+        # sample e^{−i ν_k (x cosθ + y sinθ)}.
         pos = prim[:, None] * centers[None, :] / dp
         shift = -seco[:, None] * centers[None, :] / dp
         return pos, shift
@@ -159,6 +161,11 @@ def build_fs_plan(geom: RadialGeometry, dtype=jnp.float32) -> FsPlan:
         inv_perm=tuple(int(i) for i in inv_perm),
         idx_x=tuple(int(i) for i in idx_x),
         idx_y=tuple(int(i) for i in idx_y),
+        # marks the backing ParallelPlan as spectral: its 'detector' axis is
+        # [Re|Im] Fourier-slice halves, NOT ray integrals — detector-space
+        # consumers (filter_sinogram/fbp) must refuse it (see
+        # angle_sharded_fbp's guard)
+        spectral_selection=True,
         P_x=0, P_y=0, use_pairs=False,
         pair_inv_perm=(), pair_take_x=(), pair_take_y=(),
         compute_dtype=np.dtype(dtype).name if dtype != jnp.float32 else "float32",
@@ -174,6 +181,11 @@ def build_fs_plan(geom: RadialGeometry, dtype=jnp.float32) -> FsPlan:
     # host-side f32 conversion; see geometry.build_parallel_plan dev()
     dev = lambda a: jnp.asarray(np.asarray(a, np.float32))
     par_plan = ParallelPlan(
+        # Synthetic geometry: exists only to satisfy the plan container.
+        # det_count=2·n_ro because the 'detector' axis is the [Re|Im]
+        # spectral halves; det_spacing=dp is a placeholder. Generic plan
+        # consumers must not derive physics from it — meta carries
+        # spectral_selection=True so they can (and fbp-style ones do) bail.
         ParallelGeometry(image_size=N, det_count=2 * n_ro, det_spacing=dp,
                          pixel_spacing=dp,
                          angles=tuple(float(t) for t in theta)),

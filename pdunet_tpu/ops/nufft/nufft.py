@@ -357,6 +357,19 @@ def make_radial_ops(
     +3.2 dB/+0.08 SSIM dense-recon over the analytic weights) or
     "voronoi_ramp" (the analytic area-element seed).
     """
+    if impl == "fourier_slice" and geom.samples_per_spoke % 2:
+        # the spectral grid of the projection-slice path needs an even
+        # readout length (build_fs_plan would raise); the KB-gridding
+        # oracle handles odd grids, so degrade gracefully rather than
+        # break callers that only chose the default impl
+        import warnings
+
+        warnings.warn(
+            "fourier_slice needs an even samples_per_spoke (got "
+            f"{geom.samples_per_spoke}); falling back to impl='gridding'",
+            stacklevel=2,
+        )
+        impl = "gridding"
     if impl == "fourier_slice":
         from pdunet_tpu.ops.nufft.fourier_slice import (
             build_fs_plan,

@@ -251,3 +251,38 @@ def test_batched(plan):
     assert k.shape == (3, GEOM.n_spokes, GEOM.samples_per_spoke)
     back = nufft_adjoint(plan, k)
     assert back.shape == x.shape
+
+
+def test_odd_samples_per_spoke_falls_back_to_gridding():
+    """make_radial_ops degrades to the gridding oracle (with a warning) for
+    odd readout lengths instead of raising from build_fs_plan (the spectral
+    path needs an even grid)."""
+    geom = RadialGeometry(image_size=16, n_spokes=12, samples_per_spoke=33)
+    with pytest.warns(UserWarning, match="even samples_per_spoke"):
+        ops = make_radial_ops(geom)  # default impl='fourier_slice'
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(
+        (rng.standard_normal((16, 16))
+         + 1j * rng.standard_normal((16, 16))).astype(np.complex64))
+    k = ops.A(img)
+    assert k.shape == (12, 33)
+    # oracle parity: the fallback IS the gridding impl
+    k_ref = make_radial_ops(geom, impl="gridding").A(img)
+    assert rel_l2(k, k_ref) < 1e-6
+
+
+def test_spectral_plan_refused_by_angle_sharded_fbp():
+    """The fourier_slice backing ParallelPlan carries a synthetic geometry
+    ([Re|Im] spectral halves as the 'detector' axis); detector-space fbp
+    consumers must refuse it rather than compute a nonsense bp_scale."""
+    from jax.sharding import Mesh
+
+    from pdunet_tpu.ops.nufft.fourier_slice import build_fs_plan
+    from pdunet_tpu.parallel.angle_shard import angle_sharded_fbp
+
+    fs_plan = build_fs_plan(GEOM)
+    assert fs_plan.par_plan.meta["spectral_selection"] is True
+    mesh = Mesh(np.array(jax.devices()[:1]), ("angle",))
+    sino = jnp.zeros((1,) + tuple(fs_plan.par_plan.meta["S"] for _ in [0]))
+    with pytest.raises(ValueError, match="spectral"):
+        angle_sharded_fbp(fs_plan.par_plan, sino, mesh)
