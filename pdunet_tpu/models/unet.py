@@ -69,6 +69,14 @@ class UNet(nn.Module):
         resolution and feature count as ``(stem=1, depth=d+1)``.
       features_cap: ceiling on per-level features.
       dtype: compute dtype (bfloat16 for TPU speed; params stay float32).
+      upsample: decoder 2× upsampling op. "convtranspose" (default, the
+        classic UNet choice) lowers on TPU to an input-dilated convolution;
+        "shuffle" computes the same linear family — each pixel of the 2×2
+        output block is an independent linear map of the input pixel, with
+        an identical parameter count — as a 1×1 conv to 4·features followed
+        by depth_to_space, which lowers to a plain MXU matmul with no
+        dilation. Checkpoints are NOT interchangeable across the two (param
+        shapes differ).
     """
 
     out_channels: int = 1
@@ -78,6 +86,7 @@ class UNet(nn.Module):
     features_cap: int = 512
     act: Callable = nn.relu
     dtype: jnp.dtype = jnp.float32
+    upsample: str = "convtranspose"
 
     def level_features(self) -> Sequence[int]:
         # follow the double-per-octave rule from full resolution: the stem
@@ -108,9 +117,18 @@ class UNet(nn.Module):
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = ConvBlock(feats[self.depth], act=self.act, dtype=self.dtype)(x)
         for d in reversed(range(self.depth)):
-            x = nn.ConvTranspose(
-                feats[d], (2, 2), strides=(2, 2), dtype=self.dtype
-            )(x)
+            if self.upsample == "shuffle":
+                x = nn.Conv(feats[d] * 4, (1, 1), dtype=self.dtype)(x)
+                x = depth_to_space(x, 2)
+            elif self.upsample == "convtranspose":
+                x = nn.ConvTranspose(
+                    feats[d], (2, 2), strides=(2, 2), dtype=self.dtype
+                )(x)
+            else:
+                raise ValueError(
+                    f"unknown upsample {self.upsample!r}; "
+                    "options: convtranspose, shuffle"
+                )
             x = jnp.concatenate([x, skips[d]], axis=-1)
             x = ConvBlock(feats[d], act=self.act, dtype=self.dtype)(x)
         x = nn.Conv(self.out_channels * self.stem * self.stem, (1, 1), dtype=self.dtype)(x)

@@ -197,7 +197,8 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
 
     if mc.kind == "fbp_unet":
         model = UNet(out_channels=1, base_features=mc.base_features,
-                     depth=mc.depth, stem=mc.stem, dtype=dtype)
+                     depth=mc.depth, stem=mc.stem, dtype=dtype,
+                     upsample=mc.upsample)
 
         def make_batch(key):
             k1, k2 = jax.random.split(key)
@@ -252,7 +253,8 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
         )
 
         model = UNet(out_channels=2, base_features=mc.base_features,
-                     depth=mc.depth, stem=mc.stem, dtype=dtype)
+                     depth=mc.depth, stem=mc.stem, dtype=dtype,
+                     upsample=mc.upsample)
         dense_angles = dense_geom.spoke_angles
         sparse_angles = sparse_geom.spoke_angles
         A_s = sparse_geom.n_spokes
@@ -394,7 +396,8 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                 "symmetry. Use parallel (sino_unet) or fan (pdunet/fbp_unet)."
             )
         model = UNet(out_channels=1, base_features=mc.base_features,
-                     depth=mc.depth, stem=mc.stem, dtype=dtype)
+                     depth=mc.depth, stem=mc.stem, dtype=dtype,
+                     upsample=mc.upsample)
         k = gc.sparsity
 
         def make_batch(key):
@@ -473,7 +476,7 @@ def build_task(config: ExperimentConfig, mesh=None, angle_axis: str = "angle",
                 A=A_n, At=At_n, n_iters=mc.n_iters,
                 base_features=mc.base_features, depth=mc.depth,
                 stem=mc.stem, dtype=dtype, complex_ops=is_complex,
-                remat=mc.remat,
+                remat=mc.remat, upsample=mc.upsample,
             )
         else:
             model = make_lpd(

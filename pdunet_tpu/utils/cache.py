@@ -4,10 +4,38 @@ entry point enables the on-disk cache by default)."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 
-DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+_BASE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".jax_cache")
+
+
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU cache entries are AOT machine code for the *compiling* host's
+    exact feature set, and the cache key does NOT include it — a cache dir
+    carried to a machine with different features (observed across build
+    rounds: 'Target machine feature +prefer-no-gather is not supported on
+    the host machine … could lead to execution errors such as SIGILL')
+    loads wrong code. Segregating the directory per host-feature-set makes
+    stale entries unreachable instead of dangerous."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:10]
+
+
+DEFAULT_DIR = f"{_BASE_DIR}-{_host_fingerprint()}"
 
 
 def enable_compilation_cache(directory: str | None = None) -> str:

@@ -85,7 +85,8 @@ def main() -> int:
     extra_geo = []
     if args.tiny:
         extra_geo = ["geometry.image_size=32", "geometry.n_angles=40",
-                     "train.val_slices=8"]
+                     "train.val_slices=8", "model.base_features=8",
+                     "model.n_iters=2", "model.use_bfloat16=false"]
 
     S = args.samples
     # lr scaling from the shipped batch-4 base (1e-3): sqrt and linear in

