@@ -240,6 +240,100 @@ def bench_preset_recon(
     return row
 
 
+def bench_unet_scan(batch: int = 128, image_size: int = 256,
+                    base_features: int = 64, depth: int = 3) -> dict:
+    """Attribute UNet device time (VERDICT r3 weak #1: conv-side MFU).
+
+    Two readouts at the flagship fbp_unet shape (bf16, NHWC):
+      * variants — full forward time for stem ∈ {1,2} × upsample ∈
+        {convtranspose, shuffle}: the measured candidate fixes.
+      * parts — each stem-2 component timed standalone at its true
+        in-network shape (encoder/decoder ConvBlocks per level, both
+        upsample ops, the 1×1 head), so the "where does UNet time go"
+        question has a measured answer instead of a flops model.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pdunet_tpu.models.unet import ConvBlock, UNet, depth_to_space
+
+    def t_module(module, shape, dtype=jnp.bfloat16):
+        x = jnp.ones(shape, dtype)
+        params = module.init(jax.random.PRNGKey(0), x)
+        return timeit(lambda v: module.apply(params, v), x)
+
+    out = {"batch": batch, "image_size": image_size,
+           "base_features": base_features, "depth": depth,
+           "variants": [], "parts": []}
+    for stem in (1, 2):
+        for up in ("convtranspose", "shuffle"):
+            m = UNet(base_features=base_features, depth=depth, stem=stem,
+                     upsample=up, dtype=jnp.bfloat16)
+            dt = t_module(m, (batch, image_size, image_size, 1),
+                          jnp.float32)
+            out["variants"].append({
+                "stem": stem, "upsample": up,
+                "ms_per_batch": round(dt * 1e3, 3),
+                "slices_per_sec": round(batch / dt, 2)})
+
+    # stem-2 per-level parts at their in-network shapes
+    stem = 2
+    m = UNet(base_features=base_features, depth=depth, stem=stem)
+    feats = m.level_features()
+    n0 = image_size // stem
+    for d in range(depth):
+        h = n0 >> d
+        c_in = stem * stem if d == 0 else feats[d - 1]
+        dt = t_module(ConvBlock(feats[d], dtype=jnp.bfloat16),
+                      (batch, h, h, c_in))
+        out["parts"].append({"part": f"enc{d}", "shape": [batch, h, h, c_in],
+                             "features": feats[d],
+                             "ms_per_batch": round(dt * 1e3, 3)})
+    h = n0 >> depth
+    dt = t_module(ConvBlock(feats[depth], dtype=jnp.bfloat16),
+                  (batch, h, h, feats[depth - 1]))
+    out["parts"].append({"part": "bottleneck",
+                         "shape": [batch, h, h, feats[depth - 1]],
+                         "features": feats[depth],
+                         "ms_per_batch": round(dt * 1e3, 3)})
+    import flax.linen as nn
+
+    for d in reversed(range(depth)):
+        h = n0 >> (d + 1)
+        c_in = feats[d + 1] if d + 1 <= depth else feats[depth]
+        dt_ct = t_module(nn.ConvTranspose(feats[d], (2, 2), strides=(2, 2),
+                                          dtype=jnp.bfloat16),
+                         (batch, h, h, c_in))
+        out["parts"].append({"part": f"up{d}_convtranspose",
+                             "shape": [batch, h, h, c_in],
+                             "ms_per_batch": round(dt_ct * 1e3, 3)})
+
+        class _Shuf(nn.Module):
+            features: int
+
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(self.features * 4, (1, 1),
+                            dtype=jnp.bfloat16)(x)
+                return depth_to_space(x, 2)
+
+        dt_sh = t_module(_Shuf(feats[d]), (batch, h, h, c_in))
+        out["parts"].append({"part": f"up{d}_shuffle",
+                             "shape": [batch, h, h, c_in],
+                             "ms_per_batch": round(dt_sh * 1e3, 3)})
+        dt_dec = t_module(ConvBlock(feats[d], dtype=jnp.bfloat16),
+                          (batch, h * 2, h * 2, 2 * feats[d]))
+        out["parts"].append({"part": f"dec{d}",
+                             "shape": [batch, h * 2, h * 2, 2 * feats[d]],
+                             "ms_per_batch": round(dt_dec * 1e3, 3)})
+    dt = t_module(nn.Conv(stem * stem, (1, 1), dtype=jnp.bfloat16),
+                  (batch, n0, n0, feats[0]))
+    out["parts"].append({"part": "head_1x1",
+                         "shape": [batch, n0, n0, feats[0]],
+                         "ms_per_batch": round(dt * 1e3, 3)})
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     # throughput saturates at batch 256 (measured: 32→781, 128→904,
@@ -272,6 +366,10 @@ def main(argv=None):
     p.add_argument("--sparsity", type=int, default=None,
                    help="with --preset-recon: override the undersampling "
                         "factor (README quality-vs-acceleration matrix)")
+    p.add_argument("--unet-scan", action="store_true",
+                   help="time UNet upsample/stem variants and per-level "
+                        "parts at the flagship shape; writes "
+                        "artifacts/unet_scan.json and exits")
     args = p.parse_args(argv)
     # --matrix / --train-scan / --scale-scan are --all sub-modes; asking
     # for any implies --all rather than silently doing nothing
@@ -284,6 +382,16 @@ def main(argv=None):
     enable_compilation_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.unet_scan:
+        scan = bench_unet_scan(batch=min(args.batch, 128),
+                               image_size=args.image_size)
+        import pathlib
+
+        out = pathlib.Path(__file__).resolve().parent / "artifacts" / "unet_scan.json"
+        out.write_text(json.dumps(scan, indent=2) + "\n")
+        print(json.dumps(scan, indent=2))
+        return 0
 
     if args.preset_recon:
         row = bench_preset_recon(args.preset_recon, args.batch,
@@ -464,6 +572,58 @@ def main(argv=None):
         dt_t = time_train_steps(step, state, key)
         details["train_step_sec"] = round(dt_t, 4)
         details["train_slices_per_sec"] = round(train_batch / dt_t, 2)
+
+        # fwd/bwd/opt attribution (VERDICT r3 next #3: publish the
+        # train-step split): time forward-only and forward+grad programs
+        # with the same on-device fori_loop methodology, difference out
+        # the stages. Data synthesis runs inside every variant (as in the
+        # real step), so it lands in "fwd".
+        import jax.numpy as jnp
+        from jax import lax
+
+        def _timed_loop(body_fn, init):
+            @jax.jit
+            def loop(n, s):
+                return jnp.real(jnp.ravel(
+                    lax.fori_loop(0, n, body_fn, s))[0])
+
+            float(loop(2, init))
+            t0 = time.perf_counter()
+            float(loop(0, init))
+            base = time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(loop(5, init))
+                best = min(best, time.perf_counter() - t0)
+            return max(best - base, 1e-9) / 5
+
+        def fwd_body(i, acc):
+            b = train_task.make_batch(jax.random.fold_in(key, i))
+            loss, _ = train_task.loss_fn(state.params, b)
+            return acc + loss.astype(jnp.float32)
+
+        def grad_body(i, acc):
+            b = train_task.make_batch(jax.random.fold_in(key, i))
+            (loss, _), grads = jax.value_and_grad(
+                train_task.loss_fn, has_aux=True)(state.params, b)
+            g0 = jnp.real(jnp.ravel(jax.tree_util.tree_leaves(grads)[0])[0])
+            return acc + loss.astype(jnp.float32) + g0.astype(jnp.float32) * 1e-30
+
+        try:
+            t_fwd = _timed_loop(fwd_body, jnp.zeros(()))
+            t_grad = _timed_loop(grad_body, jnp.zeros(()))
+            details["train_split"] = {
+                "batch": train_batch,
+                "fwd_sec": round(t_fwd, 4),
+                "bwd_sec": round(max(t_grad - t_fwd, 0.0), 4),
+                "opt_sec": round(max(dt_t - t_grad, 0.0), 4),
+                "note": "fwd includes in-jit data synthesis; bwd = "
+                        "grad-minus-fwd; opt = full-step minus grad "
+                        "(adam update + param write)",
+            }
+        except Exception as e:
+            details["train_split"] = {"error": f"{type(e).__name__}: {e}"}
 
         if args.train_scan:
             # Speed/memory frontier (BASELINE.json:5): remat trades ~30%

@@ -51,9 +51,12 @@ def main() -> int:
                    help="matched sample budget per cell")
     p.add_argument("--batch", type=int, default=32,
                    help="training batch (batch_frontier_ab.py informs this)")
-    p.add_argument("--lr", type=float, default=2.83e-3,
-                   help="learning rate at --batch (sqrt-scaled from the "
-                        "shipped batch-4 base by default)")
+    p.add_argument("--lr", type=float, default=1e-3,
+                   help="learning rate at --batch. Default = the unscaled "
+                        "base LR: the batch-frontier A/B (artifacts/"
+                        "batch_ab.json) measured sqrt-scaled 2.83e-3 "
+                        "collapsing mid-run at batch 32 while base 1e-3 "
+                        "trains stably to the best large-batch quality")
     p.add_argument("--n-slices", type=int, default=64)
     p.add_argument("--platform", default=None)
     p.add_argument("--tiny", action="store_true", help="32² dev geometry")

@@ -101,6 +101,14 @@ def main() -> int:
                           eval_every=50),
         "b128_lin": dict(batch=128, lr=3.2e-2, remat=True, warmup=50,
                          eval_every=50),
+        # recovery arms: the sqrt-scaled LR collapsed mid-run at clip 2.0
+        # (val 47.96@450 -> 37.85@600, never recovered) — same stranded-
+        # Adam signature as the preset comments. Probe a tighter clip and
+        # the unscaled base LR.
+        "b32_sqrt_clip05": dict(batch=32, lr=2.83e-3, remat=False,
+                                warmup=150, eval_every=150, clip=0.5),
+        "b32_base": dict(batch=32, lr=1e-3, remat=False, warmup=150,
+                         eval_every=150),
     }
     if args.arms:
         keep = set(args.arms.split(","))
@@ -116,13 +124,23 @@ def main() -> int:
                 f"train.eval_every={every}",
                 f"train.ckpt_every={every}",
                 f"model.remat={'true' if a['remat'] else 'false'}"]
+        if "clip" in a:
+            sets.append(f"train.grad_clip={a['clip']}")
         results.append(train_and_eval(
             args.preset, f"{args.preset}_{tag}", sets, steps,
             args.n_slices, args.platform, extra_geo))
         print(json.dumps(results[-1]), flush=True)
 
     out = REPO / "artifacts" / "batch_ab.json"
-    payload = {"preset": args.preset, "samples": S, "arms": results}
+    # merge with prior invocations (running extra --arms must not drop rows)
+    merged = {}
+    if out.exists():
+        for r in json.loads(out.read_text()).get("arms", []):
+            merged[r["tag"]] = r
+    for r in results:
+        merged[r["tag"]] = r
+    payload = {"preset": args.preset, "samples": S,
+               "arms": list(merged.values())}
     out.write_text(json.dumps(payload, indent=2) + "\n")
     print(f"wrote {out}")
     return 0
