@@ -73,7 +73,10 @@ def main() -> int:
             cell = f"{preset}_s{k}"
             out = out_dir / f"{cell}.json"
             steps = max(args.samples // args.batch, 1)
-            every = min(max(steps // 20, 25), 1000, steps)
+            # ~10 eval/ckpt points per run: on the 1-core host each orbax
+            # save costs seconds, and at the r3 cadence (steps//20) the
+            # save/eval overhead exceeded the step time itself
+            every = min(max(steps // 10, 100), 1000, steps)
             sets = [f"geometry.sparsity={k}",
                     f"train.batch_size={args.batch}",
                     f"train.learning_rate={args.lr}",
