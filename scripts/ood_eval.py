@@ -99,17 +99,25 @@ def main() -> int:
     p.add_argument("--set", action="append", default=[],
                    help="extra config overrides forwarded to infer.py "
                         "(must match the checkpoint's training config)")
+    p.add_argument("--out-dir", default=str(REPO / "artifacts" / "ood"),
+                   help="cell artifact directory (point a smoke elsewhere "
+                        "so it cannot shadow the real 256² cells)")
     p.add_argument("--force", action="store_true")
     args = p.parse_args()
 
     from pdunet_tpu.configs import get_preset
 
-    out_dir = REPO / "artifacts" / "ood"
+    out_dir = pathlib.Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     plat = ["--platform", args.platform] if args.platform else []
     rows = []
     for preset in args.presets.split(","):
-        config = get_preset(preset)
+        # apply the forwarded overrides so the generated stores match the
+        # geometry infer.py will actually evaluate at (e.g. a tiny-geometry
+        # CPU smoke, or a non-shipped image size)
+        overrides = dict(s.split("=", 1) for s in args.set)
+        config = get_preset(preset).override(
+            {"geometry.sparsity": str(args.sparsity), **overrides})
         is_complex = config.geometry.kind == "radial"
         image_size = config.geometry.image_size
         ckpt = REPO / args.ckpt_root / f"{preset}{args.suffix}"
@@ -147,7 +155,12 @@ def main() -> int:
             rows.append(q)
             print(json.dumps(q), flush=True)
 
-    table = REPO / "artifacts" / "ood_eval.json"
+    # the canonical combined table only for the real artifact dir; a smoke
+    # pointed at --out-dir elsewhere writes its table there instead
+    if out_dir == REPO / "artifacts" / "ood":
+        table = REPO / "artifacts" / "ood_eval.json"
+    else:
+        table = out_dir / "ood_eval.json"
     table.write_text(json.dumps({"cells": rows}, indent=2) + "\n")
     print(f"wrote {table} ({len(rows)} cells)")
     return 0
