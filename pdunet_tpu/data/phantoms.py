@@ -218,7 +218,12 @@ def textured_phantom(
     tex = np.real(np.fft.ifft2(np.fft.fft2(noise) * lp))
     tex /= max(np.abs(tex).max(), 1e-6)
     support = np.abs(base) > 1e-3
-    return (base + texture_amp * tex * support).astype(np.float32)
+    img = base + texture_amp * tex * support
+    if nonneg:
+        # MRI magnitude convention: additive texture may undershoot a
+        # low-density ellipse; magnitudes cannot be negative
+        img = np.maximum(img, 0.0)
+    return img.astype(np.float32)
 
 
 OOD_KINDS = ("shepp_logan", "rectangles", "smooth", "textured")
