@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Render the round-4 experiment artifacts as README-ready markdown.
+
+Reads whatever exists of
+  artifacts/sweep/<preset>_s<k>.json   (scripts/acceleration_sweep.py cells)
+  artifacts/classical_baselines.json   (scripts/classical_baselines.py)
+  artifacts/ood/<preset>_<kind>.json   (scripts/ood_eval.py cells)
+  artifacts/noisy_radial_*.json        (round4_queue2.sh stage 5)
+and prints the quality-vs-acceleration matrix, the classical anchors, and
+the OOD table as markdown. Pure CPU/file tool — safe to run any time; cells
+that have not landed yet simply print as "—".
+
+    python scripts/results_tables.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+ART = REPO / "artifacts"
+
+SWEEP_PRESETS = (
+    "pdunet_parallel", "lpd_parallel", "fbp_unet_parallel",
+    "sino_unet_parallel", "pdunet_radial", "sino_unet_radial",
+)
+SPARSITIES = (2, 4, 8)
+OOD_KINDS = ("shepp_logan", "rectangles", "smooth", "textured", "hu_volume")
+
+
+def load(path: pathlib.Path) -> dict | None:
+    return json.loads(path.read_text()) if path.exists() else None
+
+
+def cell_str(q: dict | None, with_ssim: bool = True) -> str:
+    if q is None:
+        return "—"
+    s = f"{q['psnr_mean']:.2f}"
+    if with_ssim:
+        s += f" / {q['ssim_mean']:.4f}"
+    return s
+
+
+def sweep_table() -> str:
+    lines = ["| preset | 2× | 4× | 8× |", "|---|---|---|---|"]
+    budgets = set()
+    for preset in SWEEP_PRESETS:
+        row = [preset]
+        for k in SPARSITIES:
+            q = load(ART / "sweep" / f"{preset}_s{k}.json")
+            if q:
+                budgets.add((preset, q.get("samples")))
+            row.append(cell_str(q))
+        lines.append("| " + " | ".join(row) + " |")
+    # classical anchors per factor
+    cb = load(ART / "classical_baselines.json")
+    if cb:
+        anchors = {(c["preset"], c["sparsity"]): c for c in cb["cells"]}
+        for preset, label in (("pdunet_parallel", "FBP (no learning)"),
+                              ("pdunet_radial", "DCF-adjoint (no learning)")):
+            row = [f"*{label}*"]
+            for k in SPARSITIES:
+                row.append(cell_str(anchors.get((preset, k))))
+            lines.append("| " + " | ".join(row) + " |")
+    return "\n".join(lines)
+
+
+def ood_table() -> str:
+    header = "| preset (4×) | in-dist | " + " | ".join(OOD_KINDS) + " |"
+    lines = [header, "|---|" + "---|" * (len(OOD_KINDS) + 1)]
+    for preset in SWEEP_PRESETS:
+        indist = load(ART / "sweep" / f"{preset}_s4.json")
+        row = [preset, cell_str(indist, with_ssim=False)]
+        for kind in OOD_KINDS:
+            q = load(ART / "ood" / f"{preset}_{kind}.json")
+            row.append(cell_str(q, with_ssim=False))
+        lines.append("| " + " | ".join(row) + " |")
+    return "\n".join(lines)
+
+
+def noisy_table() -> str:
+    rows = [
+        ("trained @ SNR 30 dB", "clean eval",
+         load(ART / "noisy_radial_snr30_clean.json")),
+        ("trained @ SNR 30 dB", "SNR-30 eval",
+         load(ART / "noisy_radial_snr30_noisy.json")),
+        ("trained clean (s4 sweep)", "SNR-30 eval",
+         load(ART / "noisy_radial_cleantrained_noisy.json")),
+        ("trained clean (s4 sweep)", "clean eval",
+         load(ART / "sweep" / "pdunet_radial_s4.json")),
+    ]
+    lines = ["| pdunet_radial arm | eval data | PSNR / SSIM |", "|---|---|---|"]
+    for arm, ev, q in rows:
+        lines.append(f"| {arm} | {ev} | {cell_str(q)} |")
+    return "\n".join(lines)
+
+
+def main() -> int:
+    print("## Quality vs acceleration (PSNR dB / SSIM, 64 held-out slices)\n")
+    print(sweep_table())
+    print("\n## Out-of-distribution evaluation (PSNR dB, 32 slices)\n")
+    print(ood_table())
+    print("\n## k-space noise robustness (radial MRI)\n")
+    print(noisy_table())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
