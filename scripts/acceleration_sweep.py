@@ -61,6 +61,10 @@ def main() -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--tiny", action="store_true", help="32² dev geometry")
     p.add_argument("--force", action="store_true", help="redo existing cells")
+    p.add_argument("--table-only", action="store_true",
+                   help="rebuild artifacts/acceleration_sweep.json from "
+                        "existing cells; never train (safe near a deadline "
+                        "or without the TPU)")
     args = p.parse_args()
 
     out_dir = REPO / "artifacts" / "sweep"
@@ -92,6 +96,10 @@ def main() -> int:
             if out.exists() and not args.force:
                 rows.append(json.loads(out.read_text()))
                 print(f"[skip] {cell} (artifact exists)", flush=True)
+                continue
+            if args.table_only:
+                print(f"[missing] {cell} (table-only: not training)",
+                      flush=True)
                 continue
             ckpt = REPO / "runs" / "sweep" / cell
             t_train = run([sys.executable, "train.py", "--preset", preset,
