@@ -96,13 +96,36 @@ def noisy_table() -> str:
     return "\n".join(lines)
 
 
-def main() -> int:
+def patch_readme() -> None:
+    """Rewrite the generated blocks between the README's table markers."""
+    readme = REPO / "README.md"
+    text = readme.read_text()
+    for name, body in (("sweep", sweep_table()), ("ood", ood_table()),
+                       ("noise", noisy_table())):
+        begin = f"<!-- BEGIN {name} table (generated) -->"
+        end = f"<!-- END {name} table -->"
+        i, j = text.index(begin), text.index(end)
+        text = text[: i + len(begin)] + "\n" + body + "\n" + text[j:]
+    readme.write_text(text)
+    print(f"patched {readme}")
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--update-readme", action="store_true",
+                   help="rewrite README.md's generated table blocks in "
+                        "place (between the BEGIN/END markers)")
+    args = p.parse_args(argv)
     print("## Quality vs acceleration (PSNR dB / SSIM, 64 held-out slices)\n")
     print(sweep_table())
     print("\n## Out-of-distribution evaluation (PSNR dB, 32 slices)\n")
     print(ood_table())
     print("\n## k-space noise robustness (radial MRI)\n")
     print(noisy_table())
+    if args.update_readme:
+        patch_readme()
     return 0
 
 
