@@ -25,6 +25,10 @@ SWEEP_PRESETS = (
     "pdunet_parallel", "lpd_parallel", "fbp_unet_parallel",
     "sino_unet_parallel", "pdunet_radial", "sino_unet_radial",
 )
+# OOD rows additionally cover the fan geometry: its s4 sweep cell exists
+# purely as an OOD checkpoint (scripts/round4_tail.sh), not as part of
+# the acceleration matrix.
+OOD_PRESETS = SWEEP_PRESETS[:4] + ("pdunet_fan",) + SWEEP_PRESETS[4:]
 SPARSITIES = (2, 4, 8)
 OOD_KINDS = ("shepp_logan", "rectangles", "smooth", "textured", "hu_volume")
 
@@ -69,7 +73,7 @@ def sweep_table() -> str:
 def ood_table() -> str:
     header = "| preset (4×) | in-dist | " + " | ".join(OOD_KINDS) + " |"
     lines = [header, "|---|" + "---|" * (len(OOD_KINDS) + 1)]
-    for preset in SWEEP_PRESETS:
+    for preset in OOD_PRESETS:
         indist = load(ART / "sweep" / f"{preset}_s4.json")
         row = [preset, cell_str(indist, with_ssim=False)]
         for kind in OOD_KINDS:

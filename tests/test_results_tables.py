@@ -1,0 +1,85 @@
+"""results_tables.py renders whatever artifact cells exist — and only those.
+
+The round-4 experiment tables (quality-vs-acceleration, OOD, noise
+robustness) are generated into README between BEGIN/END markers; these
+tests pin the renderer's contract: missing cells print as em-dash, present
+cells print PSNR/SSIM, and patch_readme only rewrites the marked blocks.
+"""
+
+import importlib.util
+import json
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _load_module():
+    spec = importlib.util.spec_from_file_location(
+        "results_tables", REPO / "scripts" / "results_tables.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _write_cell(path: pathlib.Path, psnr: float, ssim: float) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps({"psnr_mean": psnr, "ssim_mean": ssim}))
+
+
+def test_tables_render_present_and_missing_cells(tmp_path, monkeypatch):
+    mod = _load_module()
+    monkeypatch.setattr(mod, "ART", tmp_path)
+    _write_cell(tmp_path / "sweep" / "pdunet_parallel_s4.json", 51.33, 0.9988)
+    _write_cell(tmp_path / "ood" / "pdunet_fan_shepp_logan.json", 40.5, 0.97)
+
+    sweep = mod.sweep_table()
+    assert "51.33 / 0.9988" in sweep
+    assert "—" in sweep  # every other cell is missing
+
+    ood = mod.ood_table()
+    # the fan geometry gets an OOD row even though it has no sweep row
+    assert "pdunet_fan" in ood and "pdunet_fan" not in sweep
+    assert "40.50" in ood
+    # OOD cells are PSNR-only
+    assert "40.50 / " not in ood
+
+
+def test_classical_anchor_rows_appear_with_artifact(tmp_path, monkeypatch):
+    mod = _load_module()
+    monkeypatch.setattr(mod, "ART", tmp_path)
+    (tmp_path).mkdir(exist_ok=True)
+    (tmp_path / "classical_baselines.json").write_text(json.dumps({
+        "cells": [{"preset": "pdunet_parallel", "sparsity": 8,
+                   "psnr_mean": 22.1, "ssim_mean": 0.41}]}))
+    sweep = mod.sweep_table()
+    assert "FBP (no learning)" in sweep
+    assert "22.10 / 0.4100" in sweep
+
+
+def test_patch_readme_rewrites_only_marked_blocks(tmp_path, monkeypatch):
+    mod = _load_module()
+    monkeypatch.setattr(mod, "ART", tmp_path)
+    readme = tmp_path / "README.md"
+    readme.write_text(
+        "# title\nprose stays\n"
+        "<!-- BEGIN sweep table (generated) -->\nOLD\n<!-- END sweep table -->\n"
+        "middle prose\n"
+        "<!-- BEGIN ood table (generated) -->\nOLD\n<!-- END ood table -->\n"
+        "<!-- BEGIN noise table (generated) -->\nOLD\n<!-- END noise table -->\n")
+    monkeypatch.setattr(mod, "REPO", tmp_path)
+    mod.patch_readme()
+    text = readme.read_text()
+    assert "OLD" not in text
+    assert "prose stays" in text and "middle prose" in text
+    assert text.count("| preset |") == 1  # sweep header landed once
+    # idempotent: patching again produces identical text
+    mod.patch_readme()
+    assert readme.read_text() == text
+
+
+def test_shipped_readme_has_all_three_marker_pairs():
+    text = (REPO / "README.md").read_text()
+    for name in ("sweep", "ood", "noise"):
+        assert f"<!-- BEGIN {name} table (generated) -->" in text
+        assert f"<!-- END {name} table -->" in text
