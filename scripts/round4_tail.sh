@@ -70,6 +70,11 @@ if [ ! -f artifacts/noisy_radial_snr30_noisy.json ]; then
     --json-out artifacts/noisy_radial_snr30_noisy.json
 fi
 
+# 5b. Re-run the fbp_unet_parallel 2x cell lost to a wedged axon RPC
+#     (the 22:47 launch never reached step 100; the client was killed and
+#     the TPU probed healthy afterwards). Completes the fbp sweep row.
+stage $PY scripts/acceleration_sweep.py --presets fbp_unet_parallel --sparsities 2
+
 # 6. Remaining OOD kinds for every checkpoint trained so far.
 stage $PY scripts/ood_eval.py
 
