@@ -146,7 +146,13 @@ def main() -> int:
                    "--n-slices", str(args.n_slices),
                    "--json-out", str(out)]
             if kind == "hu_volume":
-                cmd += ["--hu-window", "-150", "250"]
+                # soft-tissue display window: CENTER 40 / WIDTH 400 HU,
+                # i.e. [-160, 240] — matches write_hu_volume's 0-300 HU
+                # content range. (A previous revision passed "-150 250"
+                # intending lo/hi, but infer.py takes center/width; the
+                # resulting [-275, -25] window sat entirely below water
+                # and produced degenerate PSNRs.)
+                cmd += ["--hu-window", "40", "400"]
             print("+", " ".join(cmd), flush=True)
             subprocess.run(cmd, check=True, cwd=REPO)
             q = json.loads(out.read_text())
