@@ -68,19 +68,26 @@ def write_ood_h5(path: pathlib.Path, kind: str, n: int, image_size: int,
 
 def write_hu_volume(path: pathlib.Path, n: int, image_size: int,
                     seed: int = 99) -> None:
-    """Textured phantoms rescaled to a plausible CT HU range (soft tissue
-    ~0-80 HU on a water background, air outside), stored via
-    convert_volume(domain='hu')."""
+    """Textured phantoms rescaled to a plausible CT HU range (soft-tissue
+    ±300 HU around water inside the body support, air = -1000 HU outside),
+    stored via convert_volume(domain='hu').
+
+    SliceDataset's read converts HU → μ/μ_water = 1 + HU/1000, so air maps
+    to 0 — the same background convention the models trained in — while
+    tissue lands around 1.0 (water). This matches real clinical CT (air
+    surrounds the patient); mapping the background to water instead would
+    hand every model a global DC shift no real scan has and the eval would
+    measure only that."""
     from pdunet_tpu.data.datasets import convert_volume
     from pdunet_tpu.data.phantoms import ood_phantom
 
     rng = np.random.default_rng(seed)
     vol = np.stack([ood_phantom("textured", rng, image_size)
                     for _ in range(n)])
-    # map [-amax, amax] densities to ±300 HU around water; SliceDataset's
-    # read converts to μ/μ_water = 1 + HU/1000 ∈ [0.7, 1.3]
-    vol = 300.0 * vol / max(np.abs(vol).max(), 1e-6)
-    convert_volume(vol, str(path), domain="hu", train_frac=0.0, val_frac=0.0)
+    support = np.abs(vol) > 1e-6
+    hu = 300.0 * vol / max(np.abs(vol).max(), 1e-6)
+    hu = np.where(support, hu, -1000.0).astype(np.float32)
+    convert_volume(hu, str(path), domain="hu", train_frac=0.0, val_frac=0.0)
 
 
 def main() -> int:
