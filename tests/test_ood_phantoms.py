@@ -74,3 +74,29 @@ def test_texture_lives_inside_the_support():
     gy, gx = np.gradient(img)
     interior_grad = np.hypot(gx, gy)[base]
     assert interior_grad.std() > 1e-3
+
+
+def test_hu_volume_store_air_background_and_window(tmp_path):
+    """scripts/ood_eval.py's HU store must read back with the training
+    background convention: air (-1000 HU) outside the body support -> 0
+    after SliceDataset's HU->mu conversion, tissue around water (1.0).
+    Regression for two round-4 bugs: a water background (constant 1.0 the
+    models never trained on) and an infer --hu-window (center,width)
+    mix-up that scored a [-275,-25] window below all content."""
+    from pdunet_tpu.data.datasets import SliceDataset
+    from pdunet_tpu.data.pipeline import mu_to_hu, normalize_ct_window, MU_WATER
+    from scripts.ood_eval import write_hu_volume
+
+    path = tmp_path / "hu.h5"
+    write_hu_volume(path, 3, N)
+    ds = SliceDataset(str(path), split="test")
+    s = ds.batch(range(3))
+    # corners are air: exactly 0 in relative attenuation (training bg)
+    assert np.allclose(s[:, :4, :4], 0.0) and np.allclose(s[:, -4:, -4:], 0.0)
+    # body content sits around water, within the soft-tissue HU budget
+    body = s[np.abs(s) > 1e-6]
+    assert body.size > 0 and 0.7 - 1e-5 <= body.min() and body.max() <= 1.3 + 1e-5
+    # the soft-tissue window ood_eval passes (CENTER 40, WIDTH 400) must
+    # actually see the content: windowed target is neither all-0 nor all-1
+    win = np.asarray(normalize_ct_window(mu_to_hu(s * MU_WATER), 40.0, 400.0))
+    assert 0.05 < win.mean() < 0.95 and win.std() > 1e-2
