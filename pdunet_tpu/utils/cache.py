@@ -63,6 +63,21 @@ def _host_signature() -> str:
         import platform
 
         parts = [platform.processor()]
+    # cpuinfo's `bugs` line names bugs but not their mitigation *status*,
+    # and the status is what flips LLVM tuning prefs like +prefer-no-gather
+    # (observed in round 4: identical cpuinfo across session hosts, yet the
+    # AOT loader still reported a tuning-feature mismatch). The kernel's
+    # per-vulnerability files carry the status explicitly.
+    vuln_dir = "/sys/devices/system/cpu/vulnerabilities"
+    try:
+        for name in sorted(os.listdir(vuln_dir)):
+            try:
+                with open(os.path.join(vuln_dir, name)) as f:
+                    parts.append(f"vuln {name}: {f.read().strip()}")
+            except OSError:
+                pass
+    except OSError:
+        pass
     return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()[:16]
 
 
