@@ -61,6 +61,9 @@ def main() -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--tiny", action="store_true", help="32² dev geometry")
     p.add_argument("--force", action="store_true", help="redo existing cells")
+    p.add_argument("--extra-set", action="append", default=[],
+                   help="extra dotted config override forwarded to every "
+                        "cell's train.py and infer.py (repeatable)")
     p.add_argument("--table-only", action="store_true",
                    help="rebuild artifacts/acceleration_sweep.json from "
                         "existing cells; never train (safe near a deadline "
@@ -87,6 +90,15 @@ def main() -> int:
                     "train.warmup_steps=150",
                     f"train.eval_every={every}",
                     f"train.ckpt_every={every}"]
+            if preset.startswith("lpd") and args.batch >= 16:
+                # The 10-iteration LPD unroll OOMs at batch 32 on 16 GB HBM
+                # without remat: XLA stacks the scan-carried activations as
+                # bf16[10, B, 256, 256, 32] HLO temps (36.15 GB requested,
+                # observed 2026-08-20). remat is numerics-identical and only
+                # ~30% slower per step, so sweep cells enable it; the
+                # shipped batch-4 preset fits without it and stays as-is.
+                sets += ["model.remat=true"]
+            sets += args.extra_set
             if args.tiny:
                 sets += ["geometry.image_size=32", "geometry.n_angles=40",
                          "train.val_slices=8"]

@@ -1,15 +1,19 @@
 #!/bin/bash
-# Round-4 session-3 TPU queue. The VM was reset again between sessions:
-# artifacts survive in git, runs/ (checkpoints) is wiped. Remaining table
-# gaps, ordered by completed-table value per TPU-minute:
-#   1. lpd_parallel s4       — the LPD sweep row has zero cells; this one
-#                              anchors the method ordering AND is the OOD ckpt,
-#   2. lpd OOD rows incl. the first hu_volume row (no hu_volume row exists;
-#                              the store bugs were fixed last session),
-#   3. sino_unet_radial s8   — completes the radial 8x column,
+# Round-4 session-3 TPU queue (v2). The VM was reset again between
+# sessions: artifacts survive in git, runs/ (checkpoints) is wiped.
+# v1 learned two things: (a) lpd_parallel at batch 32 OOMs without remat
+# (fixed in acceleration_sweep.py — auto model.remat=true for lpd cells),
+# (b) the flagship s4 retrain (22 min) is poor value per TPU-minute next
+# to the fbp retrain (8 min) for unlocking hu_volume OOD rows.
+# Ordering by completed-table value per TPU-minute:
+#   1. sino_unet_radial s8  — resumes the v1 run's checkpoints (~5 min),
+#                             completes the radial 8x column,
+#   2. lpd_parallel s4      — the LPD sweep row has zero cells; anchors the
+#                             method ordering AND is the lpd OOD ckpt,
+#   3. lpd OOD rows incl. the first hu_volume row,
 #   4. per-sparsity bench throughput rows (cheap),
-#   5. pdunet_parallel s4 ckpt retrain → flagship hu_volume OOD row,
-#   6. lpd s8 + s2 (stretch), radial s2 cells (stretch),
+#   5. fbp s4 ckpt retrain (~8 min) → fbp hu_volume OOD row,
+#   6. stretch: flagship retrain + hu row, lpd s8/s2, radial s2,
 #   7. final table rebuild.
 # A global deadline makes the queue surrender the TPU well before the
 # driver's end-of-round bench; every stage skips work whose artifact
@@ -21,7 +25,7 @@ set -u
 cd "$(dirname "$0")/.."
 PY=python
 START=$(date +%s)
-DEADLINE=${DEADLINE:-2580}   # seconds of queue budget (43 min default)
+DEADLINE=${DEADLINE:-2100}   # seconds of queue budget (35 min default)
 SWEEP_SETS="--set=train.batch_size=32 --set=train.learning_rate=0.001 --set=train.warmup_steps=150 --set=train.eval_every=300 --set=train.ckpt_every=300"
 
 stage() {
@@ -31,20 +35,20 @@ stage() {
     return 0
   fi
   echo "=== [$(date +%H:%M:%S)] stage (t=${now}s): $* ===" >&2
-  timeout -k 30 $(( DEADLINE - now + 120 )) "$@" \
+  timeout -k 30 $(( DEADLINE - now + 180 )) "$@" \
     || echo "!!! stage failed/timed out (continuing): $*" >&2
 }
 
-# 1. lpd_parallel s4: missing sweep cell that doubles as the OOD checkpoint.
-stage $PY scripts/acceleration_sweep.py --presets lpd_parallel --sparsities 4
-
-# 2. lpd OOD rows — including the first-ever hu_volume row.
-stage $PY scripts/ood_eval.py --kinds hu_volume,shepp_logan,textured \
-  --presets lpd_parallel
-
-# 3. sino_unet_radial s8 — completes the radial 8x column.
+# 1. sino_unet_radial s8 — resume v1's partial run; completes radial 8x.
 stage $PY scripts/acceleration_sweep.py --presets sino_unet_radial \
   --sparsities 8 --samples 48000
+
+# 2. lpd_parallel s4 (auto-remat): sweep cell + OOD checkpoint.
+stage $PY scripts/acceleration_sweep.py --presets lpd_parallel --sparsities 4
+
+# 3. lpd OOD rows — including the first-ever hu_volume row.
+stage $PY scripts/ood_eval.py --kinds hu_volume,shepp_logan,textured \
+  --presets lpd_parallel
 
 # 4. Per-sparsity throughput rows for the flagship (recon-only, ~3 min).
 if [ ! -f artifacts/bench_sparsity_rows.jsonl ]; then
@@ -53,7 +57,16 @@ if [ ! -f artifacts/bench_sparsity_rows.jsonl ]; then
   done
 fi
 
-# 5. Flagship hu_volume OOD row (needs the wiped s4 ckpt back).
+# 5. fbp s4 ckpt retrain (cheapest hu_volume unlocker) + its OOD row.
+if [ ! -d runs/sweep/fbp_unet_parallel_s4/best ]; then
+  stage $PY train.py --preset fbp_unet_parallel --steps 3000 \
+    --set=geometry.sparsity=4 $SWEEP_SETS \
+    --ckpt-dir runs/sweep/fbp_unet_parallel_s4 \
+    --metrics runs/sweep/fbp_unet_parallel_s4/metrics.jsonl
+fi
+stage $PY scripts/ood_eval.py --kinds hu_volume --presets fbp_unet_parallel
+
+# 6. Stretch: flagship hu row, then remaining lpd + radial sweep cells.
 if [ ! -d runs/sweep/pdunet_parallel_s4/best ]; then
   stage $PY train.py --preset pdunet_parallel --steps 3000 \
     --set=geometry.sparsity=4 $SWEEP_SETS \
@@ -61,8 +74,6 @@ if [ ! -d runs/sweep/pdunet_parallel_s4/best ]; then
     --metrics runs/sweep/pdunet_parallel_s4/metrics.jsonl
 fi
 stage $PY scripts/ood_eval.py --kinds hu_volume --presets pdunet_parallel
-
-# 6. Stretch: fill remaining lpd + radial sweep cells.
 stage $PY scripts/acceleration_sweep.py --presets lpd_parallel --sparsities 8
 stage $PY scripts/acceleration_sweep.py --presets lpd_parallel --sparsities 2
 stage $PY scripts/acceleration_sweep.py --presets pdunet_radial \
