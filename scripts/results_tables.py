@@ -67,7 +67,40 @@ def sweep_table() -> str:
             for k in SPARSITIES:
                 row.append(cell_str(anchors.get((preset, k))))
             lines.append("| " + " | ".join(row) + " |")
+    tp = throughput_line()
+    if tp:
+        lines += ["", tp]
     return "\n".join(lines)
+
+
+def throughput_line() -> str | None:
+    """One-line flagship recon throughput per factor (slices/s/chip).
+
+    2x/8x come from ``bench.py --preset-recon pdunet_parallel --sparsity k``
+    rows (artifacts/bench_sparsity_rows.jsonl); 4x is the shipped-geometry
+    flagship row of the bench matrix.
+    """
+    per_k: dict[int, float] = {}
+    rows_file = ART / "bench_sparsity_rows.jsonl"
+    if rows_file.exists():
+        for line in rows_file.read_text().splitlines():
+            if not line.strip():
+                continue
+            r = json.loads(line)
+            if r.get("preset") == "pdunet_parallel" and "sparsity" in r:
+                per_k[int(r["sparsity"])] = r["recon_slices_per_sec"]
+    matrix = ART / "bench_matrix_r03.jsonl"
+    if 4 not in per_k and matrix.exists():
+        for line in matrix.read_text().splitlines():
+            r = json.loads(line)
+            if r.get("preset") == "pdunet_parallel":
+                per_k[4] = r["recon_slices_per_sec"]
+                break
+    if not per_k:
+        return None
+    cells = ", ".join(f"{k}× — {per_k[k]:.0f}" for k in sorted(per_k))
+    return (f"Flagship (`pdunet_parallel`) recon throughput by factor, "
+            f"slices/s/chip: {cells}.")
 
 
 def ood_table() -> str:
