@@ -43,6 +43,40 @@ def run(cmd: list[str]) -> float:
     return time.monotonic() - t0
 
 
+def cell_sets(preset: str, sparsity: int, *, batch: int, lr: float,
+              steps: int, tiny: bool = False,
+              extra: list[str] = ()) -> list[str]:
+    """The dotted config overrides for one sweep cell (train AND infer).
+
+    Kept as a pure function so the memory-safety rule below stays
+    contract-tested (tests/test_results_tables.py).
+    """
+    # ~10 eval/ckpt points per run: on the 1-core host each orbax save
+    # costs seconds, and at the r3 cadence (steps//20) the save/eval
+    # overhead exceeded the step time itself
+    every = min(max(steps // 10, 100), 1000, steps)
+    sets = [f"geometry.sparsity={sparsity}",
+            f"train.batch_size={batch}",
+            f"train.learning_rate={lr}",
+            "train.warmup_steps=150",
+            f"train.eval_every={every}",
+            f"train.ckpt_every={every}"]
+    if preset.startswith("lpd") and batch >= 16:
+        # The 10-iteration LPD unroll OOMs at batch 32 on 16 GB HBM
+        # without remat: XLA stacks the scan-carried activations as
+        # bf16[10, B, 256, 256, 32] HLO temps (36.15 GB requested,
+        # observed 2026-08-20). remat is numerics-identical and only
+        # ~30% slower per step, so sweep cells enable it; the shipped
+        # batch-4 preset fits without it and stays as-is.
+        sets += ["model.remat=true"]
+    if tiny:
+        sets += ["geometry.image_size=32", "geometry.n_angles=40",
+                 "train.val_slices=8"]
+        if preset.endswith("radial"):
+            sets += ["geometry.samples_per_spoke=48"]
+    return sets + list(extra)
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--presets", default=",".join(DEFAULT_PRESETS))
@@ -80,30 +114,9 @@ def main() -> int:
             cell = f"{preset}_s{k}"
             out = out_dir / f"{cell}.json"
             steps = max(args.samples // args.batch, 1)
-            # ~10 eval/ckpt points per run: on the 1-core host each orbax
-            # save costs seconds, and at the r3 cadence (steps//20) the
-            # save/eval overhead exceeded the step time itself
-            every = min(max(steps // 10, 100), 1000, steps)
-            sets = [f"geometry.sparsity={k}",
-                    f"train.batch_size={args.batch}",
-                    f"train.learning_rate={args.lr}",
-                    "train.warmup_steps=150",
-                    f"train.eval_every={every}",
-                    f"train.ckpt_every={every}"]
-            if preset.startswith("lpd") and args.batch >= 16:
-                # The 10-iteration LPD unroll OOMs at batch 32 on 16 GB HBM
-                # without remat: XLA stacks the scan-carried activations as
-                # bf16[10, B, 256, 256, 32] HLO temps (36.15 GB requested,
-                # observed 2026-08-20). remat is numerics-identical and only
-                # ~30% slower per step, so sweep cells enable it; the
-                # shipped batch-4 preset fits without it and stays as-is.
-                sets += ["model.remat=true"]
-            sets += args.extra_set
-            if args.tiny:
-                sets += ["geometry.image_size=32", "geometry.n_angles=40",
-                         "train.val_slices=8"]
-                if preset.endswith("radial"):
-                    sets += ["geometry.samples_per_spoke=48"]
+            sets = cell_sets(preset, k, batch=args.batch, lr=args.lr,
+                             steps=steps, tiny=args.tiny,
+                             extra=args.extra_set)
             common = [f"--set={s}" for s in sets]
             if out.exists() and not args.force:
                 rows.append(json.loads(out.read_text()))

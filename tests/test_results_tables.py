@@ -83,3 +83,31 @@ def test_shipped_readme_has_all_three_marker_pairs():
     for name in ("sweep", "ood", "noise"):
         assert f"<!-- BEGIN {name} table (generated) -->" in text
         assert f"<!-- END {name} table -->" in text
+
+
+def _load_sweep_module():
+    spec = importlib.util.spec_from_file_location(
+        "acceleration_sweep", REPO / "scripts" / "acceleration_sweep.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_sweep_cells_enable_remat_for_lpd_at_large_batch():
+    """lpd_parallel at batch 32 OOMs on 16 GB HBM without remat (the scan
+    stacks bf16[10, B, 256, 256, 32] activation temps — 36 GB requested,
+    observed 2026-08-20); cell_sets must keep the rule."""
+    mod = _load_sweep_module()
+    sets = mod.cell_sets("lpd_parallel", 4, batch=32, lr=1e-3, steps=3000)
+    assert "model.remat=true" in sets
+    # the shipped batch-4 configuration fits without remat and stays as-is
+    sets_b4 = mod.cell_sets("lpd_parallel", 4, batch=4, lr=1e-3, steps=3000)
+    assert "model.remat=true" not in sets_b4
+    # non-lpd presets never get the override
+    sets_pd = mod.cell_sets("pdunet_parallel", 4, batch=32, lr=1e-3,
+                            steps=3000)
+    assert "model.remat=true" not in sets_pd
+    # extras are forwarded verbatim, after the rule
+    sets_x = mod.cell_sets("pdunet_radial", 8, batch=32, lr=1e-3, steps=1500,
+                           extra=["train.kspace_snr_db=30"])
+    assert sets_x[-1] == "train.kspace_snr_db=30"
