@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import pathlib
 import sys
 
@@ -54,6 +55,11 @@ def parse_args(argv=None):
                         "replicated, each batch sharded over the 'data' mesh "
                         "axis (XLA inserts the collectives over ICI). The "
                         "batch size must be divisible by N")
+    p.add_argument("--watchdog-secs", type=float,
+                   default=float(os.environ.get("PDUNET_WATCHDOG_SECS", 0)),
+                   help="abort (exit 87) if no eval batch completes for this "
+                        "many seconds (wedged-RPC bound; see train.py). "
+                        "0 disables")
     return p.parse_args(argv)
 
 
@@ -174,12 +180,21 @@ def main(argv=None):
     if export_dir:
         export_dir.mkdir(parents=True, exist_ok=True)
 
+    if args.watchdog_secs > 0:
+        from pdunet_tpu.utils import watchdog
+
+        watchdog.start(args.watchdog_secs, label=f"infer:{config.name}")
+
     def eval_batch(batch, tag):
         nonlocal exported
         recon = recon_j(params, batch)
         ps, ss = metric_j(recon, batch["image"])
         all_psnr.extend(np.asarray(ps).ravel().tolist())
         all_ssim.extend(np.asarray(ss).ravel().tolist())
+        from pdunet_tpu.utils import watchdog as _wd
+
+        _wd.beat()  # the asarray fetch above blocks on the device, so a
+        # beat here means one whole batch round-tripped
         if export_dir and exported < args.export_count:
             from PIL import Image
 

@@ -21,6 +21,7 @@ from flax.training import train_state
 from pdunet_tpu.configs import ExperimentConfig
 from pdunet_tpu.ops.metrics import psnr, ssim
 from pdunet_tpu.training.tasks import Task, build_task
+from pdunet_tpu.utils import watchdog
 
 __all__ = ["train", "TrainResult", "make_train_step", "build_state"]
 
@@ -345,6 +346,10 @@ def train(
             err, out = out
             err.throw()  # surfaces the failing check with its step context
         state, metrics = out
+        # progress heartbeat: dispatch is async, but a wedged axon compile
+        # RPC blocks the first step_fn call and a mid-run wedge blocks the
+        # next log-step fetch, so per-iteration beats catch both
+        watchdog.beat()
 
         if (i + 1) % tc.log_every == 0 or i == n_steps - 1:
             m = {k: float(v) for k, v in metrics.items()}

@@ -2,5 +2,6 @@
 
 from pdunet_tpu.utils.cache import enable_compilation_cache
 from pdunet_tpu.utils.device import materialize
+from pdunet_tpu.utils import watchdog
 
-__all__ = ["enable_compilation_cache", "materialize"]
+__all__ = ["enable_compilation_cache", "materialize", "watchdog"]

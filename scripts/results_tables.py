@@ -43,18 +43,24 @@ def cell_str(q: dict | None, with_ssim: bool = True) -> str:
     s = f"{q['psnr_mean']:.2f}"
     if with_ssim:
         s += f" / {q['ssim_mean']:.4f}"
+    if "interim" in q.get("note", ""):
+        # half-budget cells must never render indistinguishably from
+        # matched-budget ones (round-4 advisor, medium)
+        s += " †"
     return s
 
 
 def sweep_table() -> str:
     lines = ["| preset | 2× | 4× | 8× |", "|---|---|---|---|"]
     budgets = set()
+    interim = False
     for preset in SWEEP_PRESETS:
         row = [preset]
         for k in SPARSITIES:
             q = load(ART / "sweep" / f"{preset}_s{k}.json")
             if q:
                 budgets.add((preset, q.get("samples")))
+                interim |= "interim" in q.get("note", "")
             row.append(cell_str(q))
         lines.append("| " + " | ".join(row) + " |")
     # classical anchors per factor
@@ -67,6 +73,9 @@ def sweep_table() -> str:
             for k in SPARSITIES:
                 row.append(cell_str(anchors.get((preset, k))))
             lines.append("| " + " | ".join(row) + " |")
+    if interim:
+        lines += ["", "† interim cell trained below the matched sample "
+                      "budget; not comparable until retrained."]
     tp = throughput_line()
     if tp:
         lines += ["", tp]
@@ -86,14 +95,22 @@ def throughput_line() -> str | None:
         for line in rows_file.read_text().splitlines():
             if not line.strip():
                 continue
-            r = json.loads(line)
-            if r.get("preset") == "pdunet_parallel" and "sparsity" in r:
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue  # truncated row from a killed bench run
+            if (r.get("preset") == "pdunet_parallel" and "sparsity" in r
+                    and "recon_slices_per_sec" in r):
                 per_k[int(r["sparsity"])] = r["recon_slices_per_sec"]
-    matrix = ART / "bench_matrix_r03.jsonl"
-    if 4 not in per_k and matrix.exists():
-        for line in matrix.read_text().splitlines():
+    # newest matrix wins: bench.py --matrix stamps one file per round
+    matrices = sorted(ART.glob("bench_matrix_r*.jsonl"), reverse=True)
+    if 4 not in per_k and matrices:
+        for line in matrices[0].read_text().splitlines():
+            if not line.strip():
+                continue
             r = json.loads(line)
-            if r.get("preset") == "pdunet_parallel":
+            if (r.get("preset") == "pdunet_parallel"
+                    and "recon_slices_per_sec" in r):
                 per_k[4] = r["recon_slices_per_sec"]
                 break
     if not per_k:

@@ -17,6 +17,8 @@ import pytest
 from pdunet_tpu.configs import get_preset
 from pdunet_tpu.training.loop import train
 
+pytestmark = pytest.mark.slow  # minutes-long mini-training; fast lane: -m 'not slow'
+
 GOLDEN_PATH = pathlib.Path(__file__).with_name("goldens.json")
 TOL_DB = 0.6          # float nondeterminism headroom across XLA versions
 TOL_SSIM = 0.02

@@ -19,6 +19,8 @@ from pdunet_tpu.configs import get_preset
 from pdunet_tpu.training.loop import train
 from tests.test_goldens import GOLDEN_PATH
 
+pytestmark = pytest.mark.slow  # minutes-long mini-training; fast lane: -m 'not slow'
+
 TOL_DB = 0.2
 TOL_SSIM = 0.005
 KEY = "pdunet_parallel_mid64"

