@@ -377,9 +377,15 @@ def main(argv=None):
 
     import jax
 
-    from pdunet_tpu.utils import enable_compilation_cache
+    from pdunet_tpu.utils import enable_compilation_cache, watchdog
 
     enable_compilation_cache()
+    # wedged-axon-RPC bound (see train.py --watchdog-secs); each completed
+    # bench row beats, so only a genuinely stuck compile/dispatch trips it
+    import os
+
+    watchdog.start(float(os.environ.get("PDUNET_WATCHDOG_SECS", 0)),
+                   label="bench")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
@@ -539,12 +545,14 @@ def main(argv=None):
 
         dt_a = timeit(ops.A, img)
         details["radon_fwd_slices_per_sec"] = round(args.batch / dt_a, 2)
+        watchdog.beat()
 
         dt_at = timeit(ops.At, sino)
         details["radon_adj_slices_per_sec"] = round(args.batch / dt_at, 2)
 
         dt_f = timeit(ops.fbp, sino)
         details["fbp_slices_per_sec"] = round(args.batch / dt_f, 2)
+        watchdog.beat()
 
         from pdunet_tpu.training.loop import make_train_step
 
@@ -572,6 +580,7 @@ def main(argv=None):
         dt_t = time_train_steps(step, state, key)
         details["train_step_sec"] = round(dt_t, 4)
         details["train_slices_per_sec"] = round(train_batch / dt_t, 2)
+        watchdog.beat()
 
         # fwd/bwd/opt attribution (VERDICT r3 next #3: publish the
         # train-step split): time forward-only and forward+grad programs
@@ -674,6 +683,7 @@ def main(argv=None):
                     row = {"image_size": size, "n_angles": n_ang, "batch": b,
                            "error": f"{type(e).__name__}: {e}"}
                 details["scale_scan"].append(row)
+                watchdog.beat()
                 print(json.dumps(row), file=sys.stderr)
 
         if args.matrix:
@@ -689,6 +699,7 @@ def main(argv=None):
                         row = {"preset": name, "batch": b,
                                "error": f"{type(e).__name__}: {e}"}
                     details["presets"].append(row)
+                    watchdog.beat()
                     mf.write(json.dumps(row) + "\n")
                     mf.flush()
                     print(json.dumps(row), file=sys.stderr)

@@ -33,9 +33,13 @@ def main() -> int:
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args()
 
-    from pdunet_tpu.utils import enable_compilation_cache
+    from pdunet_tpu.utils import enable_compilation_cache, watchdog
 
     enable_compilation_cache()
+    import os
+
+    watchdog.start(float(os.environ.get("PDUNET_WATCHDOG_SECS", 0)),
+                   label="classical_baselines")
     import jax
 
     if args.platform:
@@ -58,17 +62,24 @@ def main() -> int:
             config = get_preset(preset).override(over)
             task = build_task(config)
             make = jax.jit(task.make_batch)
+
+            # jit the scoring: eager jnp on the axon backend is one remote
+            # compile per primitive (SSIM alone is dozens)
+            @jax.jit
+            def score(b):
+                f0, img = b["f0"], b["image"]
+                if jax.numpy.iscomplexobj(f0):
+                    f0, img = jax.numpy.abs(f0), jax.numpy.abs(img)
+                return psnr(f0, img), ssim(f0, img)
+
             all_ps, all_ss = [], []
             key = jax.random.PRNGKey(args.seed)
             n_batches = -(-args.n_slices // 8)
             for bi in range(n_batches):
-                b = make(jax.random.fold_in(key, bi))
-                f0 = b["f0"]
-                img = b["image"]
-                if jax.numpy.iscomplexobj(f0):
-                    f0, img = jax.numpy.abs(f0), jax.numpy.abs(img)
-                all_ps.extend(np.asarray(psnr(f0, img)).ravel().tolist())
-                all_ss.extend(np.asarray(ssim(f0, img)).ravel().tolist())
+                ps, ss = score(make(jax.random.fold_in(key, bi)))
+                all_ps.extend(np.asarray(ps).ravel().tolist())
+                all_ss.extend(np.asarray(ss).ravel().tolist())
+                watchdog.beat()  # one batch round-tripped the device
             row = {
                 "geometry": config.geometry.kind,
                 "preset": preset,
