@@ -168,6 +168,7 @@ def test_angle_sharded_ops_bundle_matches(full_plan, mesh2d, rng):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-3)
 
 
+@pytest.mark.slow  # minutes-scale on the 1-core box
 def test_pdunet_trains_on_data_angle_mesh(mesh2d):
     """The flagship PD-UNet train step on the (4 data x 2 angle) mesh equals
     the single-device step: angle-sharded custom_vjp ops inside the unroll,
@@ -221,6 +222,7 @@ def test_pdunet_trains_on_data_angle_mesh(mesh2d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow  # minutes-scale on the 1-core box
 def test_fan_angle_sharded_bundle_matches(mesh2d, rng):
     """Fan ops on the 2-D mesh: the extended-grid backing projector shards
     over the angle axis; A/At/fbp and gradients equal the unsharded bundle

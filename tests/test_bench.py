@@ -77,6 +77,7 @@ def test_every_shipped_preset_has_a_quality_artifact():
         assert q["quality_artifact"] == f"artifacts/{name}_test.json"
 
 
+@pytest.mark.slow  # minutes-scale on the 1-core box
 def test_matrix_row_carries_quality_at_shipped_geometry():
     import bench
 

@@ -2,6 +2,8 @@
 
 import dataclasses
 
+import pytest
+
 from pdunet_tpu.configs import get_preset
 from pdunet_tpu.training.loop import train
 
@@ -74,6 +76,7 @@ def test_spoke_interp_prefix_passthrough_and_accuracy():
     assert rel.max() < 0.05, (rel.max(), np.argsort(rel)[-4:])
 
 
+@pytest.mark.slow  # minutes-scale on the 1-core box
 def test_spoke_upsampling_task_beats_interp_baseline():
     """The radial spoke-upsampling task (sino_unet on a radial geometry):
     overfitting a tiny fixed batch must reconstruct measurably better than
