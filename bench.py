@@ -52,7 +52,10 @@ def timeit(fn, x0, iters=10, aux=()):
 
         return jnp.real(jnp.ravel(lax.fori_loop(0, n, body, x))[0])
 
+    from pdunet_tpu.utils import watchdog
+
     float(loop(iters, x0, *aux))  # compile + warm
+    watchdog.beat()  # the long pole (compile) finished
     t0 = time.perf_counter()
     float(loop(0, x0, *aux))
     base = time.perf_counter() - t0
@@ -60,6 +63,7 @@ def timeit(fn, x0, iters=10, aux=()):
         t0 = time.perf_counter()
         float(loop(iters, x0, *aux))
         total = time.perf_counter() - t0
+        watchdog.beat()
         # cheap ops need enough device iterations that the ~25 ms scalar
         # pull latency (and its jitter) can't dominate the measurement
         if total - base >= 4.0 * base or iters >= 10000:
@@ -193,10 +197,18 @@ def bench_preset_recon(
         config = dc.replace(
             config, geometry=dc.replace(config.geometry, **geom_over)
         )
+    from pdunet_tpu.utils import watchdog
+
     task = build_task(config)
+    watchdog.beat()  # opnorm estimation round-tripped the device
     key = jax.random.PRNGKey(0)
     params = task.init_params(key)
     batch = task.make_batch(key)
+    jax.block_until_ready(batch)
+    # each completed phase beats so the wedge watchdog bounds ONE compile,
+    # not the whole multi-compile row (a full cold row can exceed 600 s
+    # legitimately — observed on the 2x sparsity row, round 5)
+    watchdog.beat()
     if config.model.kind == "sino_unet":
         carry_key = "k_in_w" if config.geometry.kind == "radial" else "sino_in"
     else:
