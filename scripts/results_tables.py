@@ -133,6 +133,33 @@ def ood_table() -> str:
     return "\n".join(lines)
 
 
+def analysis_table() -> str:
+    """OOD gap attribution (scripts/ood_analysis.py cells): model vs
+    classical anchor on the same sparse measurement, and the CT
+    measurement residual that separates null-space hallucination from
+    data corruption."""
+    cells = []
+    adir = ART / "ood_analysis"
+    if adir.exists():
+        for f in sorted(adir.glob("*.json")):
+            try:
+                cells.append(json.loads(f.read_text()))
+            except ValueError:
+                continue
+    if not cells:
+        return "*(no analysis cells yet — run `scripts/ood_analysis.py`)*"
+    lines = ["| preset | family | model dB | classical anchor dB | "
+             "resid ‖Ax̂−y‖/‖y‖ (model / anchor) |",
+             "|---|---|---|---|---|"]
+    for c in cells:
+        resid = ("—" if "resid_rel_model" not in c else
+                 f"{c['resid_rel_model']:.4f} / {c['resid_rel_anchor']:.4f}")
+        lines.append(
+            f"| {c['preset']} | {c['kind']} | {c['psnr_mean']:.2f} | "
+            f"{c['anchor_psnr_mean']:.2f} | {resid} |")
+    return "\n".join(lines)
+
+
 def noisy_table() -> str:
     rows = [
         ("trained @ SNR 30 dB", "clean eval",
@@ -155,6 +182,7 @@ def patch_readme() -> None:
     readme = REPO / "README.md"
     text = readme.read_text()
     for name, body in (("sweep", sweep_table()), ("ood", ood_table()),
+                       ("oodanalysis", analysis_table()),
                        ("noise", noisy_table())):
         begin = f"<!-- BEGIN {name} table (generated) -->"
         end = f"<!-- END {name} table -->"

@@ -66,6 +66,8 @@ def test_patch_readme_rewrites_only_marked_blocks(tmp_path, monkeypatch):
         "<!-- BEGIN sweep table (generated) -->\nOLD\n<!-- END sweep table -->\n"
         "middle prose\n"
         "<!-- BEGIN ood table (generated) -->\nOLD\n<!-- END ood table -->\n"
+        "<!-- BEGIN oodanalysis table (generated) -->\nOLD\n"
+        "<!-- END oodanalysis table -->\n"
         "<!-- BEGIN noise table (generated) -->\nOLD\n<!-- END noise table -->\n")
     monkeypatch.setattr(mod, "REPO", tmp_path)
     mod.patch_readme()
@@ -80,7 +82,7 @@ def test_patch_readme_rewrites_only_marked_blocks(tmp_path, monkeypatch):
 
 def test_shipped_readme_has_all_three_marker_pairs():
     text = (REPO / "README.md").read_text()
-    for name in ("sweep", "ood", "noise"):
+    for name in ("sweep", "ood", "oodanalysis", "noise"):
         assert f"<!-- BEGIN {name} table (generated) -->" in text
         assert f"<!-- END {name} table -->" in text
 
@@ -122,6 +124,7 @@ def test_committed_readme_tables_are_fresh():
     text = (REPO / "README.md").read_text()
     for name, body in (("sweep", mod.sweep_table()),
                        ("ood", mod.ood_table()),
+                       ("oodanalysis", mod.analysis_table()),
                        ("noise", mod.noisy_table())):
         begin = f"<!-- BEGIN {name} table (generated) -->"
         end = f"<!-- END {name} table -->"
