@@ -39,7 +39,17 @@ DEFAULT_PRESETS = (
 def run(cmd: list[str]) -> float:
     print("+", " ".join(cmd), flush=True)
     t0 = time.monotonic()
-    subprocess.run(cmd, check=True, cwd=REPO)
+    proc = subprocess.run(cmd, cwd=REPO)
+    if proc.returncode == 87:
+        # the child's wedge watchdog fired (utils/watchdog.py): training
+        # resumes from its last orbax checkpoint, so one in-place retry
+        # recovers the cell instead of surfacing exit 1 to the queue
+        # (observed: the lpd s4 retrain wedged at ~step 2000, round 5)
+        print(f"[wedge] child exit 87, retrying once: {' '.join(cmd)}",
+              flush=True)
+        proc = subprocess.run(cmd, cwd=REPO)
+    if proc.returncode:
+        raise subprocess.CalledProcessError(proc.returncode, cmd)
     return time.monotonic() - t0
 
 
