@@ -169,3 +169,24 @@ def test_sweep_aggregate_rebuilds_from_all_cells(tmp_path, monkeypatch):
     got = {(c["preset"], c["sparsity"]) for c in table["cells"]}
     assert got == {("pdunet_parallel", 4), ("pdunet_radial", 8),
                    ("lpd_parallel", 4)}
+
+
+def test_sweep_run_retries_wedge_exit_87(tmp_path):
+    """A child that exits 87 (wedge watchdog) is retried once in place —
+    training resumes from its checkpoint — instead of surfacing exit 1 to
+    the queue (observed round 5: a wedged lpd retrain lost its stage)."""
+    import subprocess
+
+    mod = _load_sweep_module()
+    marker = tmp_path / "wedged_once"
+    # first attempt "wedges" (87), the retry succeeds
+    mod.run(["sh", "-c",
+             f"if [ -f {marker} ]; then exit 0; else touch {marker}; exit 87; fi"])
+    assert marker.exists()
+    # a persistent failure still raises, with the real code attached
+    try:
+        mod.run(["sh", "-c", "exit 87"])
+    except subprocess.CalledProcessError as e:
+        assert e.returncode == 87
+    else:
+        raise AssertionError("run() swallowed a persistent failure")
