@@ -68,6 +68,13 @@ def main(argv=None):
     from pdunet_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.watchdog_secs > 0:
+        # arm BEFORE any device work: the axon RPC can wedge inside
+        # build_task/opnorm estimation, long before the eval loop
+        # (observed round 5: infer stuck 19 min at 0% CPU pre-arming)
+        from pdunet_tpu.utils import watchdog
+
+        watchdog.start(args.watchdog_secs, label="infer")
     import jax
 
     if args.platform:
@@ -179,11 +186,6 @@ def main(argv=None):
     export_dir = pathlib.Path(args.export_png) if args.export_png else None
     if export_dir:
         export_dir.mkdir(parents=True, exist_ok=True)
-
-    if args.watchdog_secs > 0:
-        from pdunet_tpu.utils import watchdog
-
-        watchdog.start(args.watchdog_secs, label=f"infer:{config.name}")
 
     def eval_batch(batch, tag):
         nonlocal exported

@@ -151,6 +151,10 @@ def main() -> int:
                    "--ckpt-dir", str(ckpt), "--ckpt", "best",
                    "--data", str(h5), "--split", "test",
                    "--n-slices", str(args.n_slices),
+                   # eval the whole store in as few dispatches as possible:
+                   # the preset batch (4) costs 8 round-trips per cell and
+                   # the axon per-call overhead dominates 32-slice evals
+                   "--batch", str(min(args.n_slices, 32)),
                    "--json-out", str(out)]
             if kind == "hu_volume":
                 # soft-tissue display window: CENTER 40 / WIDTH 400 HU,
