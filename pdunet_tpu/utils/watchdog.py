@@ -26,30 +26,33 @@ __all__ = ["start", "beat", "WATCHDOG_EXIT_CODE"]
 #: distinct exit code so queue scripts can tell "wedged, retry" from a crash
 WATCHDOG_EXIT_CODE = 87
 
-_state: list | None = None  # [last_beat_monotonic] once armed
+_state: list | None = None  # [last_beat_monotonic, any_beat_yet] once armed
 
 
 def beat() -> None:
     """Record forward progress. Cheap no-op unless start() armed the dog."""
     if _state is not None:
         _state[0] = time.monotonic()
+        _state[1] = True
 
 
 def start(timeout_s: float, label: str = "") -> None:
     """Arm the watchdog: abort the process if ``beat()`` stays silent for
-    ``timeout_s`` seconds. The first window also covers jit compilation, so
-    callers should set it comfortably above their worst-case compile time
-    (~5 min on axon at 256²)."""
+    ``timeout_s`` seconds — 2× that before the FIRST beat, because the
+    first window must also cover cold jit compilation (observed >10 min
+    for a new geometry on the axon backend; a healthy compile must not be
+    indistinguishable from a wedge at the steady-state timeout)."""
     global _state
     if timeout_s <= 0:
         return
-    _state = [time.monotonic()]
+    _state = [time.monotonic(), False]
 
     def _watch() -> None:
         while True:
             time.sleep(min(30.0, timeout_s / 4))
             stale = time.monotonic() - _state[0]
-            if stale > timeout_s:
+            limit = timeout_s if _state[1] else 2.0 * timeout_s
+            if stale > limit:
                 print(
                     f"[watchdog] no progress for {stale:.0f}s"
                     f"{' in ' + label if label else ''} — aborting "
