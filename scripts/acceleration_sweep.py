@@ -79,6 +79,13 @@ def cell_sets(preset: str, sparsity: int, *, batch: int, lr: float,
         # ~30% slower per step, so sweep cells enable it; the shipped
         # batch-4 preset fits without it and stays as-is.
         sets += ["model.remat=true"]
+    if preset == "pdunet_radial" and sparsity <= 2 and batch >= 16:
+        # At 2x the radial unroll carries 256 spokes (vs 128 at 4x):
+        # the scan's bf16[4, 32, 128, 256, 64] activation temps push the
+        # program to 17.89 GB vs 15.75 GB HBM (AOT compile OOM, observed
+        # 2026-08-20 on the s2 sweep cell). Same cure as lpd: remat the
+        # iteration body; the 4x/8x cells fit and stay remat-free.
+        sets += ["model.remat=true"]
     if tiny:
         sets += ["geometry.image_size=32", "geometry.n_angles=40",
                  "train.val_slices=8"]

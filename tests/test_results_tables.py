@@ -105,10 +105,19 @@ def test_sweep_cells_enable_remat_for_lpd_at_large_batch():
     # the shipped batch-4 configuration fits without remat and stays as-is
     sets_b4 = mod.cell_sets("lpd_parallel", 4, batch=4, lr=1e-3, steps=3000)
     assert "model.remat=true" not in sets_b4
-    # non-lpd presets never get the override
+    # other parallel presets never get the override
     sets_pd = mod.cell_sets("pdunet_parallel", 4, batch=32, lr=1e-3,
                             steps=3000)
     assert "model.remat=true" not in sets_pd
+    # pdunet_radial at 2x carries 256 spokes through the unroll and OOMs
+    # HBM at batch 32 (17.89 vs 15.75 GB, AOT compile, 2026-08-20): the
+    # s2 cell remats, the 4x/8x cells fit and stay remat-free
+    sets_r2 = mod.cell_sets("pdunet_radial", 2, batch=32, lr=1e-3,
+                            steps=1500)
+    assert "model.remat=true" in sets_r2
+    sets_r4 = mod.cell_sets("pdunet_radial", 4, batch=32, lr=1e-3,
+                            steps=1500)
+    assert "model.remat=true" not in sets_r4
     # extras are forwarded verbatim, after the rule
     sets_x = mod.cell_sets("pdunet_radial", 8, batch=32, lr=1e-3, steps=1500,
                            extra=["train.kspace_snr_db=30"])
